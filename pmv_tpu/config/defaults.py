@@ -1,0 +1,482 @@
+"""Default config tree.
+
+Mirrors the key groups and semantics of the reference config surface
+(`MViT/slowfast/config/defaults.py:13-1364` plus the UniFormer fork's extras,
+`Uniformer/slowfast/config/defaults.py:312-456`) so the reference's
+`exps/PMV/*.sh` recipes port unchanged. TPU-specific keys live under `TPU.*`.
+"""
+
+import math
+
+from pmv_tpu.config.cfg_node import CfgNode
+
+_C = CfgNode()
+
+# ---------------------------------------------------------------------- TRAIN
+_C.TRAIN = CfgNode()
+_C.TRAIN.ENABLE = True
+_C.TRAIN.DATASET = "kinetics"
+_C.TRAIN.BATCH_SIZE = 64
+_C.TRAIN.EVAL_PERIOD = 10
+_C.TRAIN.CHECKPOINT_PERIOD = 10
+_C.TRAIN.AUTO_RESUME = True
+_C.TRAIN.CHECKPOINT_FILE_PATH = ""
+_C.TRAIN.CHECKPOINT_TYPE = "pytorch"  # pytorch | caffe2 | orbax
+_C.TRAIN.CHECKPOINT_INFLATE = False
+_C.TRAIN.CHECKPOINT_EPOCH_RESET = False
+_C.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN = ()
+_C.TRAIN.CHECKPOINT_IN_INIT = False
+_C.TRAIN.MIXED_PRECISION = True  # bf16 activations on TPU (no loss scaling)
+_C.TRAIN.KILL_LOSS_EXPLOSION_FACTOR = 0.0
+# Dense-position eval crops (`defaults.py:174-175`).
+_C.TRAIN.SPATIAL_SAMPLE_INDEX = -1
+_C.TRAIN.SPATIAL_SAMPLE_RATIO = [0.5, 0.5]
+
+# ------------------------------------------------------------------------ AUG
+_C.AUG = CfgNode()
+_C.AUG.ENABLE = False
+_C.AUG.GEN_MASK_LOADER = False
+_C.AUG.NUM_SAMPLE = 1
+_C.AUG.COLOR_JITTER = 0.4
+_C.AUG.AA_TYPE = "rand-m9-mstd0.5-inc1"
+_C.AUG.INTERPOLATION = "bicubic"
+_C.AUG.RE_PROB = 0.25
+_C.AUG.RE_MODE = "pixel"
+_C.AUG.RE_COUNT = 1
+_C.AUG.RE_SPLIT = False
+_C.AUG.MASK_FRAMES = False
+_C.AUG.MASK_WINDOW_SIZE = [8, 7, 7]
+_C.AUG.MASK_RATIO = 0.0
+_C.AUG.MAX_MASK_PATCHES_PER_BLOCK = None
+
+# ---------------------------------------------------------------------- MIXUP
+_C.MIXUP = CfgNode()
+_C.MIXUP.ENABLE = False
+_C.MIXUP.ALPHA = 0.8
+_C.MIXUP.CUTMIX_ALPHA = 1.0
+_C.MIXUP.PROB = 1.0
+_C.MIXUP.SWITCH_PROB = 0.5
+_C.MIXUP.LABEL_SMOOTH_VALUE = 0.1
+
+# ----------------------------------------------------------------------- TEST
+_C.TEST = CfgNode()
+_C.TEST.ENABLE = True
+_C.TEST.DATASET = "kinetics"
+_C.TEST.BATCH_SIZE = 8
+_C.TEST.CHECKPOINT_FILE_PATH = ""
+_C.TEST.NUM_ENSEMBLE_VIEWS = 10
+_C.TEST.NUM_SPATIAL_CROPS = 3
+_C.TEST.CHECKPOINT_TYPE = "pytorch"
+_C.TEST.SAVE_RESULTS_PATH = ""
+# Internal flag: are we building the model for the test pipeline (selects
+# TEST_CROP_SIZE_RECT vs TRAIN_CROP_SIZE_RECT, `video_model_builder.py:1747`).
+_C.TEST.PROCESS = False
+_C.TEST.FEAT_EXTRACT = False
+_C.TEST.SPATIAL_SAMPLE_INDEX = -1
+_C.TEST.SPATIAL_SAMPLE_RATIO = [0.5, 0.5]
+# Dense spatial crop sweep over a ratio grid (`defaults.py:286-289`).
+_C.TEST.DENSE_SPATIAL_CROP = False
+_C.TEST.DENSE_SPATIAL_CROP_STEPS = 5
+
+# ---------------------------------------------------------------------- MODEL
+_C.MODEL = CfgNode()
+_C.MODEL.MODEL_NAME = "SlowFast"
+_C.MODEL.ARCH = "slowfast"
+_C.MODEL.NUM_CLASSES = 400
+_C.MODEL.LOSS_FUNC = "cross_entropy"
+_C.MODEL.DROPOUT_RATE = 0.5
+_C.MODEL.DROPCONNECT_RATE = 0.0
+_C.MODEL.HEAD_ACT = "softmax"
+_C.MODEL.FC_INIT_STD = 0.01
+_C.MODEL.ZERO_INIT_FINAL_BN = False
+_C.MODEL.ZERO_INIT_FINAL_CONV = False
+_C.MODEL.SINGLE_PATHWAY_ARCH = [
+    "2d", "c2d", "i3d", "slow", "x3d", "mvit", "maskmvit", "uniformer",
+]
+_C.MODEL.MULTI_PATHWAY_ARCH = ["slowfast", "avslowfast"]
+_C.MODEL.ACT_CHECKPOINT = False  # remat MViT blocks via jax.checkpoint
+_C.MODEL.DETACH_FINAL_FC = False
+_C.MODEL.FROZEN_BN = False
+# UniFormer fork extras (`Uniformer/slowfast/config/defaults.py`).
+_C.MODEL.USE_CHECKPOINT = False
+_C.MODEL.CHECKPOINT_NUM = [0, 0, 0, 0]
+
+# ----------------------------------------------------------------------- MVIT
+_C.MVIT = CfgNode()
+_C.MVIT.MODE = "conv"
+_C.MVIT.POOL_FIRST = False
+_C.MVIT.CLS_EMBED_ON = True
+_C.MVIT.PATCH_KERNEL = [3, 7, 7]
+_C.MVIT.PATCH_STRIDE = [2, 4, 4]
+_C.MVIT.PATCH_PADDING = [1, 3, 3]
+_C.MVIT.PATCH_2D = False
+_C.MVIT.EMBED_DIM = 96
+_C.MVIT.NUM_HEADS = 1
+_C.MVIT.MLP_RATIO = 4.0
+_C.MVIT.QKV_BIAS = True
+_C.MVIT.DROPPATH_RATE = 0.1
+_C.MVIT.LAYER_SCALE_INIT_VALUE = 0.0
+_C.MVIT.DEPTH = 16
+_C.MVIT.DROPOUT_RATE = 0.0
+_C.MVIT.DIM_MUL = []
+_C.MVIT.HEAD_MUL = []
+_C.MVIT.POOL_KV_STRIDE = []
+_C.MVIT.POOL_KV_STRIDE_ADAPTIVE = None
+_C.MVIT.POOL_Q_STRIDE = []
+_C.MVIT.POOL_KVQ_KERNEL = None
+_C.MVIT.ZERO_DECAY_POS_CLS = True
+_C.MVIT.NORM = "layernorm"
+_C.MVIT.NORM_STEM = False
+_C.MVIT.SEP_POS_EMBED = False
+_C.MVIT.DROPOUT_RATE = 0.0
+_C.MVIT.USE_ABS_POS = True
+_C.MVIT.REL_POS_SPATIAL = False
+_C.MVIT.REL_POS_TEMPORAL = False
+_C.MVIT.REL_POS_ZERO_INIT = False
+_C.MVIT.RESIDUAL_POOLING = False
+_C.MVIT.DIM_MUL_IN_ATT = False
+_C.MVIT.SEPARATE_QKV = False
+_C.MVIT.HEAD_INIT_SCALE = 1.0
+_C.MVIT.USE_MEAN_POOLING = False
+_C.MVIT.USE_FIXED_SINCOS_POS = False
+# TPU: use the Pallas fused attention kernel where shapes allow.
+_C.MVIT.USE_PALLAS_ATTENTION = True
+
+# ------------------------------------------------------------------ UNIFORMER
+_C.UNIFORMER = CfgNode()
+_C.UNIFORMER.EMBED_DIM = [64, 128, 320, 512]
+_C.UNIFORMER.DEPTH = [3, 4, 8, 3]
+_C.UNIFORMER.HEAD_DIM = 64
+_C.UNIFORMER.MLP_RATIO = 4.0
+_C.UNIFORMER.QKV_BIAS = True
+_C.UNIFORMER.QKV_SCALE = None
+_C.UNIFORMER.REPRESENTATION_SIZE = None
+_C.UNIFORMER.DROPOUT_RATE = 0.0
+_C.UNIFORMER.ATTENTION_DROPOUT_RATE = 0.0
+_C.UNIFORMER.DROP_DEPTH_RATE = 0.1
+_C.UNIFORMER.SPLIT = False
+_C.UNIFORMER.STD = False
+_C.UNIFORMER.FRAME_BASE = False
+_C.UNIFORMER.PRETRAIN_NAME = ""
+
+# ------------------------------------------------------------------------ X3D
+_C.X3D = CfgNode()
+_C.X3D.WIDTH_FACTOR = 1.0
+_C.X3D.DEPTH_FACTOR = 1.0
+_C.X3D.BOTTLENECK_FACTOR = 1.0
+_C.X3D.DIM_C5 = 2048
+_C.X3D.DIM_C1 = 12
+_C.X3D.SCALE_RES2 = False
+_C.X3D.BN_LIN5 = False
+_C.X3D.CHANNELWISE_3x3x3 = True
+
+# --------------------------------------------------------------------- RESNET
+_C.RESNET = CfgNode()
+_C.RESNET.TRANS_FUNC = "bottleneck_transform"
+_C.RESNET.NUM_GROUPS = 1
+_C.RESNET.WIDTH_PER_GROUP = 64
+_C.RESNET.INPLACE_RELU = True
+_C.RESNET.STRIDE_1X1 = False
+_C.RESNET.ZERO_INIT_FINAL_BN = False
+_C.RESNET.ZERO_INIT_FINAL_CONV = False
+_C.RESNET.DEPTH = 50
+_C.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3], [4], [6], [3]]
+_C.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
+_C.RESNET.SPATIAL_DILATIONS = [[1], [1], [1], [1]]
+
+# ------------------------------------------------------------------- NONLOCAL
+_C.NONLOCAL = CfgNode()
+_C.NONLOCAL.LOCATION = [[[]], [[]], [[]], [[]]]
+_C.NONLOCAL.GROUP = [[1], [1], [1], [1]]
+_C.NONLOCAL.INSTANTIATION = "dot_product"
+_C.NONLOCAL.POOL = [
+    [[1, 2, 2], [1, 2, 2]],
+    [[1, 2, 2], [1, 2, 2]],
+    [[1, 2, 2], [1, 2, 2]],
+    [[1, 2, 2], [1, 2, 2]],
+]
+
+# ------------------------------------------------------------------- SLOWFAST
+_C.SLOWFAST = CfgNode()
+_C.SLOWFAST.BETA_INV = 8
+_C.SLOWFAST.ALPHA = 8
+_C.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
+_C.SLOWFAST.FUSION_KERNEL_SZ = 5
+
+# ------------------------------------------------------------------------- BN
+_C.BN = CfgNode()
+_C.BN.USE_PRECISE_STATS = False
+_C.BN.NUM_BATCHES_PRECISE = 200
+_C.BN.WEIGHT_DECAY = 0.0
+_C.BN.NORM_TYPE = "batchnorm"  # batchnorm | sub_batchnorm | sync_batchnorm
+_C.BN.NUM_SPLITS = 1
+_C.BN.NUM_SYNC_DEVICES = 1
+_C.BN.GLOBAL_SYNC = False
+
+# ----------------------------------------------------------------------- DATA
+_C.DATA = CfgNode()
+_C.DATA.PATH_TO_DATA_DIR = ""
+_C.DATA.PATH_PREFIX = ""
+_C.DATA.PATH_LABEL_SEPARATOR = " "
+# PMV subset tag formatted into the split CSV name (`defaults.py:681`).
+_C.DATA.PM_SUBSET = ""
+# "{}{}.csv".format(mode, PM_SUBSET) (`defaults.py:688`, `kinetics.py:110-112`).
+_C.DATA.LABEL_PATH_TEMPLATE = "{}{}.csv"
+_C.DATA.IMAGE_TEMPLATE = "{:05d}.jpg"
+_C.DATA.CAMERA_VIEWS = []
+_C.DATA.MEAN = [0.45, 0.45, 0.45]
+_C.DATA.STD = [0.225, 0.225, 0.225]
+_C.DATA.NUM_FRAMES = 8
+_C.DATA.SAMPLING_RATE = 8
+_C.DATA.TARGET_FPS = 30
+_C.DATA.TRAIN_JITTER_SCALES = [256, 320]
+_C.DATA.TRAIN_JITTER_SCALES_RELATIVE = []
+_C.DATA.TRAIN_JITTER_ASPECT_RELATIVE = []
+# Auto-raise min jitter scale so a rect crop fits extreme aspect ratios
+# (`datasets/utils.py:120-135`, `defaults.py:734-735`).
+_C.DATA.TRAIN_JITTER_SCALES_AUTO_ADJUST = False
+_C.DATA.TEST_JITTER_SCALES_AUTO_ADJUST = False
+_C.DATA.TRAIN_JITTER_MOTION_SHIFT = False
+_C.DATA.TRAIN_CROP_SIZE = 224
+# PMV rectangular (portrait 9:16-aware) crops (`defaults.py:753-754,758-759`).
+_C.DATA.TRAIN_CROP_SIZE_RECT = []
+_C.DATA.TRAIN_CROP_SIZE_RECT_SWITCH_AUTO = False
+_C.DATA.TEST_CROP_SIZE = 256
+_C.DATA.TEST_CROP_SIZE_RECT = []
+_C.DATA.TEST_CROP_SIZE_RECT_SWITCH_AUTO = False
+_C.DATA.INPUT_CHANNEL_NUM = [3, 3]
+_C.DATA.DECODING_BACKEND = "ffmpeg"  # native libav decoder
+_C.DATA.INV_UNIFORM_SAMPLE = False
+_C.DATA.RANDOM_FLIP = True
+_C.DATA.MULTI_LABEL = False
+_C.DATA.ENSEMBLE_METHOD = "sum"
+_C.DATA.REVERSE_INPUT_CHANNEL = False
+_C.DATA.USE_OFFSET_SAMPLING = False
+_C.DATA.TRAIN_CROP_NUM_TEMPORAL = 1
+_C.DATA.TRAIN_CROP_NUM_SPATIAL = 1
+_C.DATA.COLOR_RND_GRAYSCALE = 0.0
+_C.DATA.TIME_DIFF_PROB = 0.0
+_C.DATA.SSL_COLOR_JITTER = False
+_C.DATA.SSL_COLOR_BRI_CON_SAT = [0.4, 0.4, 0.4]
+_C.DATA.SSL_COLOR_HUE = 0.1
+_C.DATA.SSL_MOCOV2_AUG = False
+_C.DATA.SSL_BLUR_SIGMA_MIN = [0.0, 0.1]
+_C.DATA.SSL_BLUR_SIGMA_MAX = [0.0, 2.0]
+_C.DATA.IN22K_TRAINVAL = False
+_C.DATA.IN22k_VAL_IN1K = ""
+_C.DATA.DUMMY_LOAD = False
+_C.DATA.SKIP_ROWS = 0
+_C.DATA.LOADER_CHUNK_SIZE = 0
+_C.DATA.LOADER_CHUNK_OVERALL_SIZE = 0
+_C.DATA.MIN_DELTA = -math.inf
+_C.DATA.MAX_DELTA = math.inf
+
+# --------------------------------------------------------------------- SOLVER
+_C.SOLVER = CfgNode()
+_C.SOLVER.BASE_LR = 0.1
+_C.SOLVER.LR_POLICY = "cosine"
+_C.SOLVER.COSINE_END_LR = 0.0
+_C.SOLVER.COSINE_AFTER_WARMUP = False
+_C.SOLVER.GAMMA = 0.1
+_C.SOLVER.STEP_SIZE = 1
+_C.SOLVER.STEPS = []
+_C.SOLVER.LRS = []
+_C.SOLVER.MAX_EPOCH = 300
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.DAMPENING = 0.0
+_C.SOLVER.NESTEROV = True
+_C.SOLVER.WEIGHT_DECAY = 1e-4
+_C.SOLVER.WARMUP_FACTOR = 0.1
+_C.SOLVER.WARMUP_EPOCHS = 0.0
+_C.SOLVER.WARMUP_START_LR = 0.01
+_C.SOLVER.OPTIMIZING_METHOD = "sgd"
+_C.SOLVER.LARS_ON = False
+_C.SOLVER.BASE_LR_SCALE_NUM_SHARDS = False
+_C.SOLVER.CLIP_GRAD_VAL = None
+_C.SOLVER.CLIP_GRAD_L2NORM = None
+# UniFormer fork alias for CLIP_GRAD_L2NORM.
+_C.SOLVER.CLIP_GRADIENT = None
+_C.SOLVER.LAYER_DECAY = 1.0
+_C.SOLVER.BETAS = (0.9, 0.999)
+_C.SOLVER.ZERO_WD_1D_PARAM = False
+
+# ----------------------------------------------------------------------- MISC
+_C.NUM_GPUS = 1  # kept name for config-surface parity; = chips per host
+_C.NUM_SHARDS = 1
+_C.SHARD_ID = 0
+_C.OUTPUT_DIR = "."
+_C.RNG_SEED = 1
+_C.DIST_BACKEND = "ici"  # parity key; collectives ride ICI/DCN via XLA
+_C.LOG_PERIOD = 10
+_C.LOG_MODEL_INFO = True
+_C.TASK = ""
+
+# ---------------------------------------------------------------- DATA_LOADER
+_C.DATA_LOADER = CfgNode()
+_C.DATA_LOADER.NUM_WORKERS = 8
+_C.DATA_LOADER.PIN_MEMORY = True
+_C.DATA_LOADER.ENABLE_MULTI_THREAD_DECODE = False
+_C.DATA_LOADER.PREFETCH_DEPTH = 2
+
+# ------------------------------------------------------------------ BENCHMARK
+_C.BENCHMARK = CfgNode()
+_C.BENCHMARK.NUM_EPOCHS = 5
+_C.BENCHMARK.LOG_PERIOD = 100
+_C.BENCHMARK.SHUFFLE = True
+
+# -------------------------------------------------------------------- DETECTION
+_C.DETECTION = CfgNode()
+_C.DETECTION.ENABLE = False
+_C.DETECTION.ALIGNED = True
+_C.DETECTION.SPATIAL_SCALE_FACTOR = 16
+_C.DETECTION.ROI_XFORM_RESOLUTION = 7
+
+# ------------------------------------------------------------------ MULTIGRID
+_C.MULTIGRID = CfgNode()
+_C.MULTIGRID.LONG_CYCLE = False
+_C.MULTIGRID.SHORT_CYCLE = False
+_C.MULTIGRID.LONG_CYCLE_FACTORS = [
+    (0.25, 0.7071067811865476),
+    (0.5, 0.7071067811865476),
+    (0.5, 1.0),
+    (1.0, 1.0),
+]
+_C.MULTIGRID.SHORT_CYCLE_FACTORS = [0.5, 0.7071067811865476]
+_C.MULTIGRID.EPOCH_FACTOR = 1.5
+_C.MULTIGRID.EVAL_FREQ = 3
+_C.MULTIGRID.BN_BASE_SIZE = 8
+_C.MULTIGRID.DEFAULT_B = 0
+_C.MULTIGRID.DEFAULT_T = 0
+_C.MULTIGRID.DEFAULT_S = 0
+
+# ---------------------------------------------------------------- CONTRASTIVE
+_C.CONTRASTIVE = CfgNode()
+_C.CONTRASTIVE.T = 0.07
+_C.CONTRASTIVE.TYPE = "mem"
+_C.CONTRASTIVE.DIM = 128
+_C.CONTRASTIVE.LENGTH = 239975
+_C.CONTRASTIVE.QUEUE_LEN = 65536
+_C.CONTRASTIVE.MOMENTUM = 0.5
+_C.CONTRASTIVE.MOMENTUM_ANNEALING = False
+_C.CONTRASTIVE.NUM_MLP_LAYERS = 1
+_C.CONTRASTIVE.MLP_DIM = 2048
+_C.CONTRASTIVE.BN_MLP = False
+_C.CONTRASTIVE.BN_SYNC_MLP = False
+_C.CONTRASTIVE.LOCAL_SHUFFLE_BN = True
+_C.CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE = False
+_C.CONTRASTIVE.DELTA_CLIPS_MIN = -math.inf
+_C.CONTRASTIVE.DELTA_CLIPS_MAX = math.inf
+_C.CONTRASTIVE.PREDICTOR_DEPTHS = []
+_C.CONTRASTIVE.SEQUENTIAL = False
+_C.CONTRASTIVE.SIMCLR_DIST_ON = True
+_C.CONTRASTIVE.SWAV_QEUE_LEN = 0
+_C.CONTRASTIVE.KNN_ON = True
+_C.CONTRASTIVE.KNN_DOWNSTREAM_SIZE = 239975
+
+# ----------------------------------------------------------------------- MASK
+_C.MASK = CfgNode()
+_C.MASK.ENABLE = False
+_C.MASK.MAE_ON = False
+_C.MASK.MAE_RND_MASK = False
+_C.MASK.PER_FRAME_MASKING = False
+_C.MASK.TIME_STRIDE_LOSS = True
+_C.MASK.NORM_PRED_PIXEL = True
+_C.MASK.SCALE_INIT_BY_DEPTH = False
+_C.MASK.PRETRAIN_DEPTH = [15]
+_C.MASK.HEAD_TYPE = "separate"
+_C.MASK.DEC_EMBED_DIM = 256
+_C.MASK.DEC_DEPTH = 0
+_C.MASK.DEC_NUM_HEADS = 1
+_C.MASK.PRED_HOG = False
+_C.MASK.HOG_NBINS = 9
+_C.MASK.HOG_CELL_SZ = 8
+
+# ---------------------------------------------------------------- TENSORBOARD
+_C.TENSORBOARD = CfgNode()
+_C.TENSORBOARD.ENABLE = False
+_C.TENSORBOARD.LOG_DIR = ""
+_C.TENSORBOARD.CLASS_NAMES_PATH = ""
+_C.TENSORBOARD.CATEGORIES_PATH = ""
+_C.TENSORBOARD.CONFUSION_MATRIX = CfgNode()
+_C.TENSORBOARD.CONFUSION_MATRIX.ENABLE = False
+_C.TENSORBOARD.CONFUSION_MATRIX.FIGSIZE = [8, 8]
+_C.TENSORBOARD.CONFUSION_MATRIX.SUBSET_PATH = ""
+_C.TENSORBOARD.HISTOGRAM = CfgNode()
+_C.TENSORBOARD.HISTOGRAM.ENABLE = False
+_C.TENSORBOARD.HISTOGRAM.FIGSIZE = [8, 8]
+_C.TENSORBOARD.HISTOGRAM.SUBSET_PATH = ""
+_C.TENSORBOARD.HISTOGRAM.TOPK = 10
+
+# ----------------------------------------------------------------------- DEMO
+_C.DEMO = CfgNode()
+_C.DEMO.ENABLE = False
+_C.DEMO.LABEL_FILE_PATH = ""
+_C.DEMO.WEBCAM = -1
+_C.DEMO.INPUT_VIDEO = ""
+_C.DEMO.DISPLAY_WIDTH = 0
+_C.DEMO.DISPLAY_HEIGHT = 0
+_C.DEMO.BUFFER_SIZE = 0
+_C.DEMO.OUTPUT_FPS = -1
+_C.DEMO.OUTPUT_FILE = ""
+_C.DEMO.CLIP_VIS_SIZE = 10
+_C.DEMO.NUM_VIS_INSTANCES = 2
+_C.DEMO.THREAD_ENABLE = False
+_C.DEMO.NUM_CLIPS_SKIP = 0
+_C.DEMO.COMMON_CLASS_NAMES = []
+_C.DEMO.SLOWMO = 1
+_C.DEMO.VIS_MODE = "thres"
+_C.DEMO.COMMON_CLASS_THRES = 0.7
+_C.DEMO.UNCOMMON_CLASS_THRES = 0.3
+
+# ------------------------------------------------------------------------ TPU
+# TPU-native runtime knobs (new capability, no reference equivalent).
+_C.TPU = CfgNode()
+_C.TPU.MESH_SHAPE = []  # e.g. [8] or [4, 2]; empty = all local devices on "data"
+_C.TPU.MESH_AXES = ["data"]
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+_C.TPU.PARAM_DTYPE = "float32"
+_C.TPU.COORDINATOR_ADDRESS = ""  # jax.distributed.initialize rendezvous
+_C.TPU.PROCESS_ID = -1
+_C.TPU.NUM_PROCESSES = -1
+_C.TPU.PROFILE_DIR = ""
+
+
+def get_cfg():
+    """Return a fresh clone of the default config."""
+    return _C.clone()
+
+
+def assert_and_infer_cfg(cfg):
+    """Validate and derive config values.
+
+    Mirrors `assert_and_infer_cfg` (`MViT/slowfast/config/defaults.py:1327-1364`):
+    batch divisibility, BN assertions, and LR scaling by NUM_SHARDS (linear or
+    sqrt via BASE_LR_SCALE_NUM_SHARDS).
+    """
+    # BN assertions.
+    if cfg.BN.NORM_TYPE == "sub_batchnorm":
+        assert cfg.BN.NUM_SPLITS >= 1
+
+    # TEST assertions.
+    assert cfg.TEST.NUM_SPATIAL_CROPS in [1, 3]
+    assert cfg.TEST.BATCH_SIZE % max(cfg.NUM_GPUS, 1) == 0
+
+    # TRAIN assertions.
+    assert cfg.TRAIN.BATCH_SIZE % max(cfg.NUM_GPUS, 1) == 0
+
+    # Scale LR by the number of shards: linear when enabled, sqrt otherwise
+    # only for >1 shards (reference `defaults.py:1344-1352`).
+    if cfg.NUM_SHARDS > 1:
+        if cfg.SOLVER.BASE_LR_SCALE_NUM_SHARDS:
+            factor = float(cfg.NUM_SHARDS)
+        else:
+            factor = math.sqrt(float(cfg.NUM_SHARDS))
+        cfg.SOLVER.BASE_LR *= factor
+        cfg.SOLVER.WARMUP_START_LR *= factor
+        cfg.SOLVER.COSINE_END_LR *= factor
+
+    # UniFormer fork alias.
+    if cfg.SOLVER.CLIP_GRADIENT is not None and cfg.SOLVER.CLIP_GRAD_L2NORM is None:
+        cfg.SOLVER.CLIP_GRAD_L2NORM = cfg.SOLVER.CLIP_GRADIENT
+
+    return cfg

@@ -1,0 +1,306 @@
+"""On-device RandAugment.
+
+JAX re-design of the timm RandAugment port used by the reference
+(`MViT/slowfast/datasets/rand_augment.py`, applied per-frame through a PIL
+roundtrip at `kinetics.py:429-440`). Here the whole op set runs on-device in
+the jitted preprocessing graph: no PIL, no host roundtrip, every frame of a
+clip gets the same sampled ops/magnitudes (temporally consistent, matching
+the reference's per-clip application).
+
+Value convention: float32 images in [0, 255], channels-last [T, H, W, C].
+
+Parity notes (training-only augmentation; distributional equivalence is the
+goal, not bit parity): geometric ops use bilinear sampling (timm randomly
+picks bilinear/bicubic); equalize follows PIL's integer LUT algorithm.
+"""
+
+import math
+import re
+
+import jax
+import jax.numpy as jnp
+
+_LEVEL_DENOM = 10.0
+_FILL = 128.0
+
+
+# --------------------------------------------------------------- affine warp
+def _affine(img, matrix):
+    """Apply inverse-mapping 2x3 affine (PIL convention): out(x,y) = in(a x + b y + c, d x + e y + f).
+
+    img: [T, H, W, C]; bilinear sampling, out-of-bounds filled with _FILL.
+    """
+    t, h, w, c = img.shape
+    a, b, cc, d, e, f = matrix
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    X, Y = jnp.meshgrid(xs, ys)  # [H, W]
+    src_x = a * X + b * Y + cc
+    src_y = d * X + e * Y + f
+
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    fx = src_x - x0
+    fy = src_y - y0
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        vals = img[:, yi_c, xi_c, :]  # [T, H, W, C]
+        return jnp.where(valid[None, :, :, None], vals, _FILL)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    fx = fx[None, :, :, None]
+    fy = fy[None, :, :, None]
+    out = (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+    return out
+
+
+def _rotate(img, degrees):
+    t, h, w, c = img.shape
+    angle = -degrees * math.pi / 180.0
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    # Inverse rotation around center.
+    a, b = cos, sin
+    d, e = -sin, cos
+    cc = cx - a * cx - b * cy
+    f = cy - d * cx - e * cy
+    return _affine(img, (a, b, cc, d, e, f))
+
+
+def _shear_x(img, factor):
+    return _affine(img, (1.0, factor, 0.0, 0.0, 1.0, 0.0))
+
+
+def _shear_y(img, factor):
+    return _affine(img, (1.0, 0.0, 0.0, factor, 1.0, 0.0))
+
+
+def _translate_x(img, pixels):
+    return _affine(img, (1.0, 0.0, pixels, 0.0, 1.0, 0.0))
+
+
+def _translate_y(img, pixels):
+    return _affine(img, (1.0, 0.0, 0.0, 0.0, 1.0, pixels))
+
+
+# --------------------------------------------------------------- color ops
+def _blend(img, degenerate, factor):
+    return jnp.clip(degenerate + factor * (img - degenerate), 0.0, 255.0)
+
+
+def _grayscale(img):
+    l = (
+        img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    )
+    return jnp.repeat(l[..., None], img.shape[-1], axis=-1)
+
+
+def _color(img, factor):
+    return _blend(img, jnp.round(_grayscale(img)), factor)
+
+
+def _contrast(img, factor):
+    mean = jnp.mean(jnp.round(_grayscale(img)))
+    return _blend(img, mean, factor)
+
+
+def _brightness(img, factor):
+    return _blend(img, 0.0, factor)
+
+
+def _sharpness(img, factor):
+    kernel = jnp.array(
+        [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]], jnp.float32
+    ) / 13.0
+    t, h, w, c = img.shape
+    x = jnp.moveaxis(img, -1, 1).reshape(t * c, 1, h, w)
+    smoothed = jax.lax.conv_general_dilated(
+        x, kernel[None, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    smoothed = jnp.moveaxis(smoothed.reshape(t, c, h, w), 1, -1)
+    # PIL keeps the 1-pixel border unchanged.
+    border = jnp.zeros((h, w), bool).at[1:-1, 1:-1].set(True)
+    degenerate = jnp.where(border[None, :, :, None], smoothed, img)
+    return _blend(img, degenerate, factor)
+
+
+def _invert(img, _):
+    return 255.0 - img
+
+
+def _autocontrast(img, _):
+    # Per-frame per-channel min/max rescale (PIL autocontrast, cutoff=0).
+    lo = jnp.min(img, axis=(1, 2), keepdims=True)
+    hi = jnp.max(img, axis=(1, 2), keepdims=True)
+    scale = jnp.where(hi > lo, 255.0 / (hi - lo), 1.0)
+    offset = jnp.where(hi > lo, -lo * scale, 0.0)
+    return jnp.clip(img * scale + offset, 0.0, 255.0)
+
+
+def _equalize(img, _):
+    """PIL ImageOps.equalize integer-LUT algorithm, per frame and channel."""
+    t, h, w, c = img.shape
+    flat = jnp.round(img).astype(jnp.int32).reshape(t, h * w, c)
+
+    def eq_one(channel_pixels):  # [N] ints
+        hist = jnp.zeros((256,), jnp.int32).at[channel_pixels].add(1)
+        nonzero = hist > 0
+        # Count of the highest nonzero bin.
+        last_idx = 255 - jnp.argmax(nonzero[::-1])
+        last_count = hist[last_idx]
+        step = (jnp.sum(hist) - last_count) // 255
+        cumsum = jnp.cumsum(hist)
+        shifted_cumsum = jnp.concatenate([jnp.zeros((1,), jnp.int32), cumsum[:-1]])
+        lut = (step // 2 + shifted_cumsum) // jnp.maximum(step, 1)
+        lut = jnp.clip(lut, 0, 255)
+        identity = jnp.arange(256, dtype=jnp.int32)
+        lut = jnp.where(step == 0, identity, lut)
+        return lut[channel_pixels]
+
+    out = jax.vmap(lambda frame: jax.vmap(eq_one, in_axes=1, out_axes=1)(frame))(flat)
+    return out.reshape(t, h, w, c).astype(img.dtype)
+
+
+def _posterize(img, bits):
+    # Keep `bits` high bits. bits is traced; build mask arithmetically.
+    bits = jnp.clip(bits, 0, 8).astype(jnp.int32)
+    shift = 8 - bits
+    vals = jnp.round(img).astype(jnp.int32)
+    out = jnp.left_shift(jnp.right_shift(vals, shift), shift)
+    return out.astype(img.dtype)
+
+
+def _solarize(img, thresh):
+    return jnp.where(img >= thresh, 255.0 - img, img)
+
+
+def _solarize_add(img, add):
+    return jnp.where(img < 128.0, jnp.clip(img + add, 0.0, 255.0), img)
+
+
+# ------------------------------------------------------- magnitude -> arg
+def _randomly_negate(key, v):
+    return jnp.where(jax.random.uniform(key) < 0.5, -v, v)
+
+
+def _make_ops(hparams):
+    """(name, fn, level_fn) table — timm's `rand-...-inc1` increasing set."""
+    translate_pct = hparams.get("translate_pct", 0.45)
+
+    def lvl_rotate(key, m):
+        return _randomly_negate(key, m / _LEVEL_DENOM * 30.0)
+
+    def lvl_shear(key, m):
+        return _randomly_negate(key, m / _LEVEL_DENOM * 0.3)
+
+    def lvl_enhance_inc(key, m):
+        return 1.0 + _randomly_negate(key, m / _LEVEL_DENOM * 0.9)
+
+    def lvl_posterize_inc(key, m):
+        return 4 - jnp.round(m / _LEVEL_DENOM * 4).astype(jnp.int32)
+
+    def lvl_solarize_inc(key, m):
+        return 256.0 - jnp.round(m / _LEVEL_DENOM * 256)
+
+    def lvl_solarize_add(key, m):
+        return jnp.round(m / _LEVEL_DENOM * 110)
+
+    def lvl_none(key, m):
+        return jnp.float32(0.0)
+
+    return [
+        ("AutoContrast", _autocontrast, lvl_none),
+        ("Equalize", _equalize, lvl_none),
+        ("Invert", _invert, lvl_none),
+        ("Rotate", _rotate, lvl_rotate),
+        ("Posterize", _posterize, lvl_posterize_inc),
+        ("Solarize", _solarize, lvl_solarize_inc),
+        ("SolarizeAdd", _solarize_add, lvl_solarize_add),
+        ("Color", _color, lvl_enhance_inc),
+        ("Contrast", _contrast, lvl_enhance_inc),
+        ("Brightness", _brightness, lvl_enhance_inc),
+        ("Sharpness", _sharpness, lvl_enhance_inc),
+        ("ShearX", _shear_x, lvl_shear),
+        ("ShearY", _shear_y, lvl_shear),
+        (
+            "TranslateX",
+            lambda img, v: _translate_x(img, v),
+            lambda key, m: _randomly_negate(key, m / _LEVEL_DENOM * translate_pct)
+        ),
+        (
+            "TranslateY",
+            lambda img, v: _translate_y(img, v),
+            lambda key, m: _randomly_negate(key, m / _LEVEL_DENOM * translate_pct)
+        ),
+    ]
+
+
+def parse_rand_augment_config(config_str):
+    """Parse 'rand-m7-n4-mstd0.5-inc1' (timm syntax) -> dict."""
+    parts = config_str.split("-")
+    assert parts[0] == "rand", f"not a rand-augment config: {config_str}"
+    out = {"magnitude": 9, "num_layers": 2, "magnitude_std": 0.0, "increasing": False}
+    for p in parts[1:]:
+        m = re.match(r"([a-z]+)([0-9.]+)", p)
+        if m is None:
+            continue
+        key, val = m.group(1), float(m.group(2))
+        if key == "m":
+            out["magnitude"] = val
+        elif key == "n":
+            out["num_layers"] = int(val)
+        elif key == "mstd":
+            out["magnitude_std"] = val
+        elif key == "inc":
+            out["increasing"] = bool(val)
+        elif key == "p":
+            out["prob"] = val
+    return out
+
+
+class RandAugment:
+    """Jit-friendly RandAugment: n ops sampled per clip, applied in sequence."""
+
+    def __init__(self, config_str="rand-m9-n2-mstd0.5", hparams=None):
+        cfg = parse_rand_augment_config(config_str)
+        self.magnitude = cfg["magnitude"]
+        self.num_layers = cfg["num_layers"]
+        self.magnitude_std = cfg["magnitude_std"]
+        self.ops = _make_ops(hparams or {})
+
+    def __call__(self, key, img):
+        """img: [T, H, W, C] float32 in [0, 255]."""
+        num_ops = len(self.ops)
+
+        def apply_one(carry_img, layer_key):
+            k_choice, k_mag, k_sign = jax.random.split(layer_key, 3)
+            op_idx = jax.random.randint(k_choice, (), 0, num_ops)
+            m = self.magnitude
+            if self.magnitude_std > 0:
+                m = m + self.magnitude_std * jax.random.normal(k_mag)
+            m = jnp.clip(m, 0.0, _LEVEL_DENOM)
+
+            branches = []
+            for name, fn, lvl_fn in self.ops:
+                def branch(img_, fn=fn, lvl_fn=lvl_fn):
+                    return fn(img_, lvl_fn(k_sign, m)).astype(img_.dtype)
+
+                branches.append(branch)
+            out = jax.lax.switch(op_idx, branches, carry_img)
+            return out, None
+
+        layer_keys = jax.random.split(key, self.num_layers)
+        img, _ = jax.lax.scan(apply_one, img, layer_keys)
+        return img

@@ -80,6 +80,39 @@ class CfgNode(dict):
         return f"CfgNode({dict.__repr__(self)})"
 
 
+class FrozenCfg:
+    """Immutable attribute-access view of a CfgNode.
+
+    Used at the flax module boundary: linen rewrites dict attributes into
+    FrozenDicts (losing attribute access), but leaves plain objects alone.
+    Lists become tuples so the object is fully hashable / trace-stable.
+    """
+
+    def __init__(self, d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                v = FrozenCfg(v)
+            elif isinstance(v, list):
+                v = _freeze_seq(v)
+            object.__setattr__(self, k, v)
+
+    def __setattr__(self, name, value):
+        raise AttributeError("FrozenCfg is immutable")
+
+    def __repr__(self):
+        return f"FrozenCfg({self.__dict__})"
+
+
+def _freeze_seq(v):
+    return tuple(
+        _freeze_seq(x) if isinstance(x, list) else x for x in v
+    )
+
+
+def freeze_cfg(cfg):
+    return FrozenCfg(cfg)
+
+
 def _merge_a_into_b(a, b, key_path):
     for k, v_a in a.items():
         full_key = ".".join(key_path + [str(k)])

@@ -1,0 +1,280 @@
+"""Kinetics / PMV-400 dataset.
+
+Host-side re-design of `MViT/slowfast/datasets/kinetics.py:30-603`:
+
+- CSV split list via `DATA.LABEL_PATH_TEMPLATE.format(mode, PM_SUBSET)`
+  with `DATA.PATH_LABEL_SEPARATOR` (`kinetics.py:110-112,134-160`).
+- test mode unrolls each video into NUM_ENSEMBLE_VIEWS x NUM_SPATIAL_CROPS
+  deterministic views (`kinetics.py:86-91,229-250`).
+- 100-retry decode loop with random replacement during training
+  (`kinetics.py:281-308`).
+- PMV rect crops with auto landscape/portrait switching + per-sample `pm`
+  flag; portrait crops are transposed to the landscape layout
+  (`kinetics.py:465-503`).
+- DUMMY_LOAD synthetic-batch mode (`kinetics.py:81,529-531`).
+
+TPU-first split of responsibilities: the host stops at fixed-shape uint8
+crops (decode -> short-side scale [in swscale] -> crop -> flip); RandAugment,
+normalization, erasing and mixup run on-device inside the jitted step
+(engine/steps.py). Output layout is channels-last [T, H, W, C] uint8.
+"""
+
+import math
+import os
+import random
+
+import numpy as np
+
+from pmv_tpu.data import spatial, transform
+from pmv_tpu.data import video_decoder
+from pmv_tpu.data.build import DATASET_REGISTRY
+from pmv_tpu.utils import logging as pmv_logging
+
+logger = pmv_logging.get_logger(__name__)
+
+
+@DATASET_REGISTRY.register(name="Kinetics")
+class Kinetics:
+    _NUM_RETRIES = 100
+
+    def __init__(self, cfg, mode):
+        assert mode in ["train", "val", "test"]
+        self.cfg = cfg
+        self.mode = mode
+        self.p_convert_gray = cfg.DATA.COLOR_RND_GRAYSCALE
+
+        if mode in ["train", "val"]:
+            self._num_clips = 1
+        else:
+            self._num_clips = (
+                cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+            )
+        self.dummy_output = None
+        self._construct_loader()
+
+    def _construct_loader(self):
+        cfg = self.cfg
+        csv_name = cfg.DATA.LABEL_PATH_TEMPLATE.format(
+            self.mode, cfg.DATA.PM_SUBSET
+        )
+        path_to_file = os.path.join(cfg.DATA.PATH_TO_DATA_DIR, csv_name)
+        assert os.path.exists(path_to_file), f"{path_to_file} not found"
+        self._path_to_videos = []
+        self._labels = []
+        self._spatial_temporal_idx = []
+        with open(path_to_file, "r") as f:
+            for clip_idx, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split(cfg.DATA.PATH_LABEL_SEPARATOR)
+                assert len(parts) == 2, f"bad row: {line}"
+                path, label = parts
+                for idx in range(self._num_clips):
+                    self._path_to_videos.append(
+                        os.path.join(cfg.DATA.PATH_PREFIX, path)
+                    )
+                    self._labels.append(int(label))
+                    self._spatial_temporal_idx.append(idx)
+        assert len(self._path_to_videos) > 0, f"empty split {path_to_file}"
+        logger.info(
+            "Constructed kinetics dataset (size %d) from %s",
+            len(self._path_to_videos), path_to_file,
+        )
+
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    @property
+    def num_videos(self):
+        return len(self._path_to_videos)
+
+    def _sample_params(self, index):
+        """(temporal_idx, spatial_idx, min_scale, max_scale, crop_size)."""
+        cfg = self.cfg
+        if self.mode in ["train", "val"]:
+            temporal_idx = -1
+            spatial_idx = -1
+            min_scale = cfg.DATA.TRAIN_JITTER_SCALES[0]
+            max_scale = cfg.DATA.TRAIN_JITTER_SCALES[1]
+            crop_size = cfg.DATA.TRAIN_CROP_SIZE
+        else:
+            st_idx = self._spatial_temporal_idx[index]
+            temporal_idx = st_idx // cfg.TEST.NUM_SPATIAL_CROPS
+            spatial_idx = (
+                st_idx % cfg.TEST.NUM_SPATIAL_CROPS
+                if cfg.TEST.NUM_SPATIAL_CROPS > 1
+                else (
+                    cfg.TEST.SPATIAL_SAMPLE_INDEX
+                    if cfg.TEST.SPATIAL_SAMPLE_INDEX in (-2, 0, 1, 2)
+                    else 1
+                )
+            )
+            min_scale, max_scale = [cfg.DATA.TEST_CROP_SIZE] * 2
+            crop_size = cfg.DATA.TEST_CROP_SIZE
+        return temporal_idx, spatial_idx, min_scale, max_scale, crop_size
+
+    def __getitem__(self, index):
+        cfg = self.cfg
+        if cfg.DATA.DUMMY_LOAD and self.dummy_output is not None:
+            return self.dummy_output
+
+        (
+            temporal_idx, spatial_idx, min_scale, max_scale, crop_size
+        ) = self._sample_params(index)
+        rng = np.random.default_rng()
+
+        from pmv_tpu.native import binding
+
+        for i_try in range(self._NUM_RETRIES):
+            path = self._path_to_videos[index]
+            try:
+                reader = binding.VideoReader(path)
+            except Exception as e:
+                logger.warning("Failed to open %s: %s", path, e)
+                reader = None
+            if reader is None:
+                if self.mode not in ["test"] and i_try > self._NUM_RETRIES // 8:
+                    index = random.randint(0, len(self._path_to_videos) - 1)
+                continue
+            try:
+                frames, time_frac = self._decode_and_transform(
+                    reader, temporal_idx, spatial_idx,
+                    min_scale, max_scale, crop_size, rng,
+                )
+            except Exception as e:
+                logger.warning("Failed to decode %s: %s", path, e)
+                frames = None
+            finally:
+                reader.close()
+            if frames is None:
+                if self.mode not in ["test"] and i_try > self._NUM_RETRIES // 8:
+                    index = random.randint(0, len(self._path_to_videos) - 1)
+                continue
+            frames, pm = frames
+            label = self._labels[index]
+            sample = {
+                "frames": frames,  # uint8 [T, H, W, C]
+                "label": label,
+                "index": index,
+                "time": time_frac,
+                "pm": pm,
+            }
+            if cfg.DATA.DUMMY_LOAD and self.dummy_output is None:
+                self.dummy_output = sample
+            return sample
+        raise RuntimeError(
+            f"Failed to fetch video after {self._NUM_RETRIES} retries."
+        )
+
+    def _decode_and_transform(
+        self, reader, temporal_idx, spatial_idx, min_scale, max_scale,
+        crop_size, rng,
+    ):
+        cfg = self.cfg
+
+        # ---- geometry decisions before decode (lets swscale do the resize)
+        H, W = reader.height, reader.width
+        is_test = self.mode == "test"
+        switch_auto = (
+            cfg.DATA.TEST_CROP_SIZE_RECT_SWITCH_AUTO
+            if is_test
+            else cfg.DATA.TRAIN_CROP_SIZE_RECT_SWITCH_AUTO
+        )
+        rect = (
+            cfg.DATA.TEST_CROP_SIZE_RECT if is_test
+            else cfg.DATA.TRAIN_CROP_SIZE_RECT
+        )
+        rect = list(rect) if len(rect) else None
+        pm = False
+        if rect is not None and switch_auto:
+            if H > W:
+                rect = rect[::-1]
+                pm = True
+        auto_adjust = (
+            cfg.DATA.TEST_JITTER_SCALES_AUTO_ADJUST if is_test
+            else cfg.DATA.TRAIN_JITTER_SCALES_AUTO_ADJUST
+        )
+
+        scl = list(cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE)
+        asp = list(cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE)
+        use_relative = self.mode == "train" and len(scl) and len(asp)
+
+        # Short-side target for the in-decoder resize. For the Inception-
+        # style relative crop the box is sampled on the decoded frame, so
+        # decode at the jitter scale too (area stats are scale-invariant).
+        if spatial_idx == -1:
+            if rect is not None and auto_adjust:
+                min_scale, max_scale = spatial.scale_adjust_short_side_scale_jitter(
+                    min_scale, max_scale, rect, H, W
+                )
+            size = int(round(rng.uniform(min_scale, max_scale)))
+        else:
+            if rect is not None and auto_adjust:
+                min_scale, max_scale = spatial.scale_adjust_short_side_scale_jitter(
+                    min_scale, max_scale, rect, H, W
+                )
+                max_scale = min_scale
+            size = min_scale
+        out_h, out_w = video_decoder.jitter_scale_dims(H, W, size)
+
+        frames, time_frac = video_decoder.decode_clip(
+            reader,
+            cfg.DATA.SAMPLING_RATE,
+            cfg.DATA.NUM_FRAMES,
+            clip_idx=temporal_idx,
+            num_clips=(
+                cfg.TEST.NUM_ENSEMBLE_VIEWS if is_test else 1
+            ),
+            target_fps=cfg.DATA.TARGET_FPS,
+            use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+            out_w=out_w,
+            out_h=out_h,
+            rng=rng,
+        )
+        frames = frames.astype(np.float32)
+
+        # ---- crop / flip (host, cheap) -------------------------------------
+        if spatial_idx == -1:
+            if use_relative:
+                th, tw = (
+                    (crop_size, crop_size) if rect is None else (rect[0], rect[1])
+                )
+                frames = transform.random_resized_crop(
+                    frames, th, tw, scale=tuple(scl), ratio=tuple(asp),
+                    switch_hw=True, rng=rng,
+                )
+            else:
+                if rect is None:
+                    frames = transform.random_crop(frames, crop_size, rng=rng)
+                else:
+                    frames = transform.random_crop_rect(frames, rect, rng=rng)
+            if cfg.DATA.RANDOM_FLIP:
+                frames = transform.horizontal_flip(0.5, frames, rng=rng)
+        elif spatial_idx == -2:
+            ratio = list(
+                cfg.TEST.SPATIAL_SAMPLE_RATIO if is_test
+                else cfg.TRAIN.SPATIAL_SAMPLE_RATIO
+            )
+            new_h, new_w = frames.shape[1], frames.shape[2]
+            off_h = min(max(math.ceil((new_h - crop_size) * ratio[0]), 0),
+                        new_h - crop_size)
+            off_w = min(max(math.ceil((new_w - crop_size) * ratio[1]), 0),
+                        new_w - crop_size)
+            frames = transform.specified_crop(
+                frames, crop_size, center_ords=[off_w, off_h]
+            )
+        else:
+            if rect is None:
+                frames = transform.uniform_crop(frames, crop_size, spatial_idx)
+            else:
+                frames = transform.uniform_crop_rect(frames, rect, spatial_idx)
+
+        # Portrait -> landscape layout + pm flag (`kinetics.py:495-503`).
+        if pm:
+            frames = np.swapaxes(frames, 1, 2)
+
+        frames = np.ascontiguousarray(
+            np.clip(frames, 0, 255).astype(np.uint8)
+        )
+        return (frames, pm), time_frac

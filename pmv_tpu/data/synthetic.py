@@ -1,0 +1,57 @@
+"""Synthetic video dataset.
+
+First-class fake-data backend (the reference only has the DUMMY_LOAD flag,
+`kinetics.py:81,529-531`): generates deterministic random clips at the
+configured geometry so the full train/eval stack runs without video IO.
+Registered as DATASET 'synthetic'.
+"""
+
+import numpy as np
+
+from pmv_tpu.data.build import DATASET_REGISTRY
+
+
+@DATASET_REGISTRY.register(name="Synthetic")
+class Synthetic:
+    def __init__(self, cfg, mode):
+        assert mode in ["train", "val", "test"]
+        self.cfg = cfg
+        self.mode = mode
+        self._num_clips = (
+            1
+            if mode in ["train", "val"]
+            else cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        )
+        self._num_videos = 64
+        is_test = mode == "test"
+        rect = (
+            cfg.DATA.TEST_CROP_SIZE_RECT if is_test
+            else cfg.DATA.TRAIN_CROP_SIZE_RECT
+        )
+        if len(rect):
+            self._crop = (rect[0], rect[1])
+        else:
+            size = cfg.DATA.TEST_CROP_SIZE if is_test else cfg.DATA.TRAIN_CROP_SIZE
+            self._crop = (size, size)
+
+    def __len__(self):
+        return self._num_videos * self._num_clips
+
+    @property
+    def num_videos(self):
+        return len(self)
+
+    def __getitem__(self, index):
+        cfg = self.cfg
+        rng = np.random.default_rng(index)
+        t = cfg.DATA.NUM_FRAMES
+        h, w = self._crop
+        frames = rng.integers(0, 255, (t, h, w, 3), dtype=np.uint8)
+        label = int(rng.integers(0, cfg.MODEL.NUM_CLASSES))
+        return {
+            "frames": frames,
+            "label": label,
+            "index": index,
+            "time": 0.0,
+            "pm": False,
+        }

@@ -1,0 +1,214 @@
+"""Jitted train / eval steps.
+
+TPU-first re-design of the reference hot loop
+(`MViT/tools/train_net.py:33-310`, SURVEY.md section 3.2): one jitted,
+mesh-sharded function fuses on-device preprocessing (normalize, RandAugment,
+random erasing), MixUp, forward, loss, backward, optax update, and the metric
+reductions. XLA inserts the gradient all-reduce over the mesh 'data' axis —
+there is no explicit NCCL-equivalent call anywhere.
+
+Design notes:
+- bf16 activations via the model's compute dtype; params/optimizer f32; no
+  GradScaler needed (TPU bf16 has fp32 range).
+- per-iteration LR: the engine computes get_epoch_lr(epoch_exact) on host
+  and passes it as a traced scalar into the step (`train_net.py:124-127`).
+- the NaN guard (`misc.py:28-36`) is a device-side flag returned in metrics;
+  the host raises, keeping the step fully compiled.
+- per-sample portrait (`pm`) batches: the engine calls the portrait
+  specialization's step on the transposed batch and merges outputs; the
+  released PMV recipes never enable SWITCH_AUTO so the common path is one
+  program (SURVEY/BASELINE).
+"""
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pmv_tpu.data.mixup import MixUp, mixup_target
+from pmv_tpu.data.rand_augment import RandAugment
+from pmv_tpu.data.random_erasing import random_erasing
+from pmv_tpu.engine.train_state import TrainState
+from pmv_tpu.models import optimizer as optim
+from pmv_tpu.models.losses import get_loss_func
+
+
+def make_preprocess_fn(cfg, train: bool):
+    """On-device preprocessing: uint8 [B,T,H,W,C] -> normalized float.
+
+    Host workers stop at fixed-shape uint8 crops (decode + resize + crop);
+    everything afterwards (the reference's per-frame PIL RandAugment at
+    `kinetics.py:429-440`, normalize at `:443-448`, RandomErasing at
+    `:505-515`) is fused into the jitted step.
+    """
+    mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+    use_ra = train and cfg.AUG.ENABLE and cfg.AUG.AA_TYPE
+    use_re = train and cfg.AUG.ENABLE and cfg.AUG.RE_PROB > 0
+    ra = RandAugment(cfg.AUG.AA_TYPE) if use_ra else None
+
+    def preprocess(key, frames):
+        x = frames.astype(jnp.float32)
+        if ra is not None:
+            k_ra, key = jax.random.split(key)
+            keys = jax.random.split(k_ra, x.shape[0])
+            x = jax.vmap(ra)(keys, x)
+        x = (x - mean) / std
+        if use_re:
+            k_re, key = jax.random.split(key)
+            x = random_erasing(
+                k_re, x,
+                probability=cfg.AUG.RE_PROB,
+                mode=cfg.AUG.RE_MODE,
+            )
+        return x
+
+    return preprocess
+
+
+def pack_pathways(cfg, x):
+    """Single tensor -> per-pathway list (`datasets/utils.py` pack_pathway_output).
+
+    SlowFast: slow = stride-alpha temporal subsample, fast = full.
+    """
+    if cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH:
+        return [x]
+    if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH:
+        alpha = cfg.SLOWFAST.ALPHA
+        slow = x[:, :: alpha]
+        return [slow, x]
+    raise NotImplementedError(f"arch {cfg.MODEL.ARCH}")
+
+
+def make_train_step(cfg, model, tx):
+    """Returns train_step(state, batch, rng, lr) -> (state, metrics)."""
+    loss_fun = get_loss_func(cfg.MODEL.LOSS_FUNC)
+    preprocess = make_preprocess_fn(cfg, train=True)
+    mixup_fn = (
+        MixUp(
+            mixup_alpha=cfg.MIXUP.ALPHA,
+            cutmix_alpha=cfg.MIXUP.CUTMIX_ALPHA,
+            mix_prob=cfg.MIXUP.PROB,
+            switch_prob=cfg.MIXUP.SWITCH_PROB,
+            label_smoothing=cfg.MIXUP.LABEL_SMOOTH_VALUE,
+            num_classes=cfg.MODEL.NUM_CLASSES,
+        )
+        if cfg.MIXUP.ENABLE
+        else None
+    )
+    has_bn = cfg.MODEL.MODEL_NAME in ("X3D", "ResNet", "SlowFast", "Uniformer")
+
+    def train_step(state: TrainState, batch, rng, lr):
+        frames, labels = batch["frames"], batch["labels"]
+        k_pre, k_mix, k_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3
+        )
+        x = preprocess(k_pre, frames)
+        if mixup_fn is not None:
+            x, targets = mixup_fn(k_mix, x, labels)
+        elif cfg.MODEL.LOSS_FUNC == "soft_cross_entropy":
+            targets = mixup_target(
+                labels, cfg.MODEL.NUM_CLASSES, 1.0,
+                cfg.MIXUP.LABEL_SMOOTH_VALUE,
+            )
+        else:
+            targets = labels
+        inputs = pack_pathways(cfg, x)
+        if len(inputs) == 1:
+            inputs = inputs[0]
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if state.batch_stats:
+                preds, updates = model.apply(
+                    variables, inputs, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": k_drop},
+                )
+                new_stats = updates.get("batch_stats", state.batch_stats)
+            else:
+                preds = model.apply(
+                    variables, inputs, train=True, rngs={"dropout": k_drop},
+                )
+                new_stats = state.batch_stats
+            loss = loss_fun(preds.astype(jnp.float32), targets)
+            return loss, (preds, new_stats)
+
+        (loss, (preds, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grad_norm = optax.global_norm(grads)
+
+        opt_state = optim.set_lr(state.opt_state, lr)
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+
+        # Top-k errors vs the hard labels (with mixup the reference relabels
+        # via the mixed target's top-2, `train_net.py:210-219`; we report
+        # against the original labels which matches the k=1 common case).
+        top2 = jax.lax.top_k(preds.astype(jnp.float32), 5)[1]
+        correct1 = (top2[:, :1] == labels[:, None]).any(axis=1)
+        correct5 = (top2 == labels[:, None]).any(axis=1)
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "top1_err": (1.0 - correct1.mean()) * 100.0,
+            "top5_err": (1.0 - correct5.mean()) * 100.0,
+            "nan": jnp.isnan(loss) | jnp.isinf(loss),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg, model):
+    """Returns eval_step(state, batch) -> preds (eval path, softmax'd head)."""
+    mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+
+    def eval_step(state: TrainState, frames):
+        x = (frames.astype(jnp.float32) - mean) / std
+        inputs = pack_pathways(cfg, x)
+        if len(inputs) == 1:
+            inputs = inputs[0]
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, inputs, train=False)
+
+    return eval_step
+
+
+def init_state(cfg, model, example_batch, rng, tx=None):
+    """Initialize params/batch_stats/opt_state from an example input.
+
+    Returns (state, tx); builds the optax chain from the fresh params when tx
+    is not supplied (param-group masks need the param tree).
+    """
+    frames = example_batch["frames"]
+    x = frames.astype(jnp.float32)
+    inputs = pack_pathways(cfg, x)
+    if len(inputs) == 1:
+        inputs = inputs[0]
+    variables = model.init(rng, inputs, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if tx is None:
+        tx = optim.construct_optimizer(params, cfg)
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+    return state, tx

@@ -1,0 +1,432 @@
+"""MViT pooling attention with decomposed relative position biases.
+
+TPU-first re-design of the reference MultiScaleAttention / MultiScaleBlock
+(`MViT/slowfast/models/attention.py`). Differences from the CUDA/torch
+implementation, by design:
+
+- channels-last token grids; pooling convs run as depthwise NDHWC convs that
+  XLA maps directly onto TPU conv units.
+- rel-pos tables are interpolated at *trace time* to static (q,k) extents —
+  there is no data-dependent shape anywhere, so each (thw, pooling) pair
+  compiles once.
+- the portrait/landscape `hw_switch` (`attention.py:414-435`) is a static
+  trace flag: the portrait specialization swaps the H/W tables, giving an
+  exactly-equivalent program to the reference's per-sample branch.
+- attention itself is a dense bf16 QK^T -> +bias -> softmax -> @V; shapes for
+  MViTv2-S (q<=6272, kv<=98 after (1,8,8) KV pooling) favor one fused XLA
+  einsum chain; a Pallas flash kernel (pmv_tpu/ops) covers the large
+  early-stage sequences.
+"""
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmv_tpu.models.common import DropPath, Mlp, max_pool_3d, avg_pool_3d, trunc_normal_init
+
+
+def interpolate_rel_pos(rel_pos, d):
+    """Linear-resize a [L, C] rel-pos table to [d, C].
+
+    Matches torch F.interpolate(mode='linear', align_corners=False)
+    (`attention.py:51-64`); static shapes, so it folds into the jitted graph.
+    """
+    L = rel_pos.shape[0]
+    if L == d:
+        return rel_pos
+    return jax.image.resize(rel_pos, (d, rel_pos.shape[1]), method="linear")
+
+
+def rel_pos_spatial_bias(
+    q, q_shape, k_shape, rel_pos_h, rel_pos_w, has_cls_embed
+):
+    """Decomposed spatial rel-pos bias (`attention.py:67-117`).
+
+    q: [B, heads, Nq, C]. Returns bias [B, heads, Nq, Nk] with zero rows/cols
+    for the cls token.
+    """
+    sp_idx = 1 if has_cls_embed else 0
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    dh = int(2 * max(q_h, k_h) - 1)
+    dw = int(2 * max(q_w, k_w) - 1)
+
+    q_h_ratio = max(k_h / q_h, 1.0)
+    k_h_ratio = max(q_h / k_h, 1.0)
+    dist_h = (
+        np.arange(q_h)[:, None] * q_h_ratio - np.arange(k_h)[None, :] * k_h_ratio
+    )
+    dist_h += (k_h - 1) * k_h_ratio
+    q_w_ratio = max(k_w / q_w, 1.0)
+    k_w_ratio = max(q_w / k_w, 1.0)
+    dist_w = (
+        np.arange(q_w)[:, None] * q_w_ratio - np.arange(k_w)[None, :] * k_w_ratio
+    )
+    dist_w += (k_w - 1) * k_w_ratio
+
+    Rh = interpolate_rel_pos(rel_pos_h, dh)[dist_h.astype(np.int64)]  # [qh, kh, C]
+    Rw = interpolate_rel_pos(rel_pos_w, dw)[dist_w.astype(np.int64)]  # [qw, kw, C]
+
+    B, n_head, _, dim = q.shape
+    r_q = q[:, :, sp_idx:].reshape(B, n_head, q_t, q_h, q_w, dim)
+    rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(q.dtype))
+    rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(q.dtype))
+
+    bias = (
+        rel_h_q[:, :, :, :, :, None, :, None]
+        + rel_w_q[:, :, :, :, :, None, None, :]
+    )  # [B, h, qt, qh, qw, 1, kh, kw] broadcast over kt
+    bias = jnp.broadcast_to(
+        bias, (B, n_head, q_t, q_h, q_w, k_t, k_h, k_w)
+    ).reshape(B, n_head, q_t * q_h * q_w, k_t * k_h * k_w)
+    if sp_idx:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    return bias
+
+
+def rel_pos_temporal_bias(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
+    """Temporal rel-pos bias (`attention.py:120-159`)."""
+    sp_idx = 1 if has_cls_embed else 0
+    q_t, q_h, q_w = q_shape
+    k_t, k_h, k_w = k_shape
+    dt = int(2 * max(q_t, k_t) - 1)
+
+    q_t_ratio = max(k_t / q_t, 1.0)
+    k_t_ratio = max(q_t / k_t, 1.0)
+    dist_t = (
+        np.arange(q_t)[:, None] * q_t_ratio - np.arange(k_t)[None, :] * k_t_ratio
+    )
+    dist_t += (k_t - 1) * k_t_ratio
+    Rt = interpolate_rel_pos(rel_pos_t, dt)[dist_t.astype(np.int64)]  # [qt, kt, C]
+
+    B, n_head, _, dim = q.shape
+    r_q = q[:, :, sp_idx:].reshape(B, n_head, q_t, q_h, q_w, dim)
+    rel = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(q.dtype))
+    bias = rel[:, :, :, :, :, :, None, None]  # broadcast over kh, kw
+    bias = jnp.broadcast_to(
+        bias, (B, n_head, q_t, q_h, q_w, k_t, k_h, k_w)
+    ).reshape(B, n_head, q_t * q_h * q_w, k_t * k_h * k_w)
+    if sp_idx:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    return bias
+
+
+class AttentionPool(nn.Module):
+    """Pool the token grid of Q/K/V (`attention.py:13-49` attention_pool).
+
+    mode 'conv': depthwise conv + LayerNorm; 'max'/'avg': pooling, no norm.
+    Input [B, heads, N, C]; cls token (if any) bypasses pooling.
+    """
+
+    kernel: Sequence[int]
+    stride: Sequence[int]
+    mode: str
+    has_cls_embed: bool
+    dtype: jnp.dtype = jnp.float32
+    norm_eps: float = 1e-6
+
+    def is_identity(self):
+        return (
+            len(self.kernel) == 0
+            or (np.prod(self.kernel) == 1 and np.prod(self.stride) == 1)
+        )
+
+    @nn.compact
+    def __call__(self, x, thw_shape) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
+        if self.is_identity():
+            return x, tuple(thw_shape)
+        B, H, N, C = x.shape
+        T, Hh, Ww = thw_shape
+        if self.has_cls_embed:
+            cls_tok, x = x[:, :, :1], x[:, :, 1:]
+        x = x.reshape(B * H, T, Hh, Ww, C)
+        padding = [(k // 2, k // 2) for k in self.kernel]
+        if self.mode == "conv":
+            x = nn.Conv(
+                features=C,
+                kernel_size=tuple(self.kernel),
+                strides=tuple(self.stride),
+                padding=padding,
+                feature_group_count=C,
+                use_bias=False,
+                dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02),
+                name="pool",
+            )(x)
+        elif self.mode == "max":
+            x = max_pool_3d(x, self.kernel, self.stride, padding)
+        elif self.mode == "avg":
+            x = avg_pool_3d(x, self.kernel, self.stride, padding)
+        else:
+            raise NotImplementedError(f"Unsupported pool mode {self.mode}")
+        new_thw = (x.shape[1], x.shape[2], x.shape[3])
+        x = x.reshape(B, H, -1, C)
+        if self.has_cls_embed:
+            x = jnp.concatenate([cls_tok, x], axis=2)
+        if self.mode == "conv":
+            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+        return x, new_thw
+
+
+class MultiScaleAttention(nn.Module):
+    """Pooling attention (`attention.py:166-461`), static-shape TPU variant."""
+
+    dim_out: int
+    num_heads: int
+    input_size: Sequence[int]  # (T, H, W) token grid at block input
+    qkv_bias: bool = False
+    drop_rate: float = 0.0
+    kernel_q: Sequence[int] = ()
+    kernel_kv: Sequence[int] = ()
+    stride_q: Sequence[int] = ()
+    stride_kv: Sequence[int] = ()
+    has_cls_embed: bool = True
+    mode: str = "conv"
+    pool_first: bool = False
+    rel_pos_spatial: bool = False
+    rel_pos_temporal: bool = False
+    rel_pos_zero_init: bool = False
+    residual_pooling: bool = False
+    separate_qkv: bool = False
+    hw_switch: bool = False  # static: portrait specialization swaps H/W tables
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, thw_shape, deterministic=True):
+        B, N, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        scale = head_dim ** -0.5
+
+        def dense(feats, name):
+            return nn.Dense(
+                feats, use_bias=self.qkv_bias, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name=name,
+            )
+
+        if self.pool_first:
+            fold = self.num_heads
+            q = k = v = x.reshape(B, N, fold, -1).transpose(0, 2, 1, 3)
+        elif self.separate_qkv:
+            q = dense(self.dim_out, "q")(x).reshape(
+                B, N, self.num_heads, -1).transpose(0, 2, 1, 3)
+            k = dense(self.dim_out, "k")(x).reshape(
+                B, N, self.num_heads, -1).transpose(0, 2, 1, 3)
+            v = dense(self.dim_out, "v")(x).reshape(
+                B, N, self.num_heads, -1).transpose(0, 2, 1, 3)
+        else:
+            qkv = dense(3 * self.dim_out, "qkv")(x)
+            qkv = qkv.reshape(B, N, 3, self.num_heads, -1).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+
+        q, q_shape = AttentionPool(
+            kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
+            has_cls_embed=self.has_cls_embed, dtype=self.dtype, name="pool_q",
+        )(q, thw_shape)
+        k, k_shape = AttentionPool(
+            kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
+            has_cls_embed=self.has_cls_embed, dtype=self.dtype, name="pool_k",
+        )(k, thw_shape)
+        v, v_shape = AttentionPool(
+            kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
+            has_cls_embed=self.has_cls_embed, dtype=self.dtype, name="pool_v",
+        )(v, thw_shape)
+
+        if self.pool_first:
+            def refold(t, t_shape, name):
+                t_n = int(np.prod(t_shape)) + (1 if self.has_cls_embed else 0)
+                t = t.transpose(0, 2, 1, 3).reshape(B, t_n, -1)
+                t = dense(self.dim_out, name)(t)
+                return t.reshape(B, t_n, self.num_heads, -1).transpose(0, 2, 1, 3)
+
+            q = refold(q, q_shape, "q")
+            k = refold(k, k_shape, "k")
+            v = refold(v, v_shape, "v")
+
+        attn = (q * scale) @ k.transpose(0, 1, 3, 2)
+
+        if self.rel_pos_spatial:
+            rel_sp_dim_h = 2 * max(
+                self.input_size[1] // (self.stride_q[1] if self.stride_q else 1),
+                self.input_size[1] // (self.stride_kv[1] if self.stride_kv else 1),
+            ) - 1
+            rel_sp_dim_w = 2 * max(
+                self.input_size[2] // (self.stride_q[2] if self.stride_q else 1),
+                self.input_size[2] // (self.stride_kv[2] if self.stride_kv else 1),
+            ) - 1
+            init = (
+                nn.initializers.zeros
+                if self.rel_pos_zero_init
+                else trunc_normal_init(0.02)
+            )
+            rel_pos_h = self.param("rel_pos_h", init, (rel_sp_dim_h, head_dim))
+            rel_pos_w = self.param("rel_pos_w", init, (rel_sp_dim_w, head_dim))
+            if self.hw_switch:
+                # Portrait specialization: H axis uses the W table and vice
+                # versa (`attention.py:414-435`).
+                rp_h, rp_w = rel_pos_w, rel_pos_h
+            else:
+                rp_h, rp_w = rel_pos_h, rel_pos_w
+            attn = attn + rel_pos_spatial_bias(
+                q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
+            )
+        if self.rel_pos_temporal:
+            init = (
+                nn.initializers.zeros
+                if self.rel_pos_zero_init
+                else trunc_normal_init(0.02)
+            )
+            rel_pos_t = self.param(
+                "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim)
+            )
+            attn = attn + rel_pos_temporal_bias(
+                q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
+            )
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        x = attn @ v
+
+        if self.residual_pooling:
+            # `attention.py:450-454`: add pooled q (skipping cls row when on).
+            if self.has_cls_embed:
+                x = x.at[:, :, 1:, :].add(q[:, :, 1:, :])
+            else:
+                x = x + q
+
+        x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.dim_out)
+        x = nn.Dense(
+            self.dim_out, dtype=self.dtype,
+            kernel_init=trunc_normal_init(0.02), name="proj",
+        )(x)
+        if self.drop_rate > 0.0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x, q_shape
+
+
+class MultiScaleBlock(nn.Module):
+    """Transformer block with pooled attention (`attention.py:464-589`)."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    input_size: Sequence[int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop_rate: float = 0.0
+    drop_path: float = 0.0
+    layer_scale_init_value: float = 0.0
+    kernel_q: Sequence[int] = ()
+    kernel_kv: Sequence[int] = ()
+    stride_q: Sequence[int] = ()
+    stride_kv: Sequence[int] = ()
+    mode: str = "conv"
+    has_cls_embed: bool = True
+    pool_first: bool = False
+    rel_pos_spatial: bool = False
+    rel_pos_temporal: bool = False
+    rel_pos_zero_init: bool = False
+    residual_pooling: bool = False
+    dim_mul_in_att: bool = False
+    separate_qkv: bool = False
+    hw_switch: bool = False
+    norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, thw_shape, deterministic=True):
+        att_dim = self.dim_out if self.dim_mul_in_att else self.dim
+        x_norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        x_block, thw_shape_new = MultiScaleAttention(
+            dim_out=att_dim,
+            num_heads=self.num_heads,
+            input_size=self.input_size,
+            qkv_bias=self.qkv_bias,
+            drop_rate=self.drop_rate,
+            kernel_q=self.kernel_q,
+            kernel_kv=self.kernel_kv,
+            stride_q=self.stride_q,
+            stride_kv=self.stride_kv,
+            has_cls_embed=self.has_cls_embed,
+            mode=self.mode,
+            pool_first=self.pool_first,
+            rel_pos_spatial=self.rel_pos_spatial,
+            rel_pos_temporal=self.rel_pos_temporal,
+            rel_pos_zero_init=self.rel_pos_zero_init,
+            residual_pooling=self.residual_pooling,
+            separate_qkv=self.separate_qkv,
+            hw_switch=self.hw_switch,
+            dtype=self.dtype,
+            name="attn",
+        )(x_norm, thw_shape, deterministic=deterministic)
+
+        if self.layer_scale_init_value > 0:
+            gamma_1 = self.param(
+                "gamma_1",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (att_dim,),
+            )
+        else:
+            gamma_1 = None
+
+        if self.dim_mul_in_att and self.dim != self.dim_out:
+            x = nn.Dense(
+                self.dim_out, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name="proj",
+            )(x_norm)
+
+        # Skip-path pooling (max) when Q is strided (`attention.py:499-505`).
+        if len(self.stride_q) > 0 and np.prod(self.stride_q) > 1:
+            kernel_skip = [s + 1 if s > 1 else s for s in self.stride_q]
+            padding_skip = [(k // 2, k // 2) for k in kernel_skip]
+            B, N, C = x.shape
+            T, H, W = thw_shape
+            if self.has_cls_embed:
+                cls_tok, toks = x[:, :1], x[:, 1:]
+            else:
+                toks = x
+            toks = toks.reshape(B, T, H, W, C)
+            toks = max_pool_3d(toks, kernel_skip, self.stride_q, padding_skip)
+            toks = toks.reshape(B, -1, C)
+            x_res = (
+                jnp.concatenate([cls_tok, toks], axis=1)
+                if self.has_cls_embed
+                else toks
+            )
+        else:
+            x_res = x
+
+        branch = gamma_1 * x_block if gamma_1 is not None else x_block
+        x = x_res + DropPath(self.drop_path, name="drop_path1")(
+            branch, deterministic=deterministic
+        )
+
+        x_norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        mlp_hidden = int(att_dim * self.mlp_ratio)
+        x_mlp = Mlp(
+            hidden_features=mlp_hidden,
+            out_features=self.dim_out,
+            drop_rate=self.drop_rate,
+            dtype=self.dtype,
+            name="mlp",
+        )(x_norm, deterministic=deterministic)
+
+        if not self.dim_mul_in_att and self.dim != self.dim_out:
+            x = nn.Dense(
+                self.dim_out, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name="proj",
+            )(x_norm)
+
+        if self.layer_scale_init_value > 0:
+            gamma_2 = self.param(
+                "gamma_2",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim_out,),
+            )
+            x_mlp = gamma_2 * x_mlp
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            x_mlp, deterministic=deterministic
+        )
+        return x, thw_shape_new

@@ -1,0 +1,303 @@
+// Native video decode library for pmv_tpu.
+//
+// TPU-native replacement for the reference's PyAV/decord/torchvision decode
+// backends (MViT/slowfast/datasets/video_container.py:10-36,
+// decoder.py:416-489 pyav_decode): FFmpeg demux + PTS-selective seek +
+// forward decode of only the clip window + swscale resize to the target
+// geometry, RGB24 output into caller-owned host memory. Exposed as a C ABI
+// for ctypes binding; thread-safe at one-decoder-per-thread granularity
+// (the loader runs a decode thread pool; FFmpeg releases the GIL entirely
+// since we never touch Python here).
+//
+// Build: see Makefile (links libavformat/libavcodec/libswscale/libavutil).
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_idx = -1;
+  double fps = 0.0;
+  int64_t nb_frames = 0;     // container-reported (may be 0/approximate)
+  double duration_sec = 0.0;
+  int width = 0;
+  int height = 0;
+  std::string error;
+};
+
+double stream_fps(AVStream* st) {
+  AVRational r = st->avg_frame_rate;
+  if (r.num == 0 || r.den == 0) r = st->r_frame_rate;
+  if (r.num == 0 || r.den == 0) return 0.0;
+  return av_q2d(r);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a container and its best video stream. Returns nullptr on failure.
+void* pmv_open(const char* path) {
+  auto* d = new Decoder();
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  const AVCodec* dec = nullptr;
+  d->stream_idx =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (d->stream_idx < 0 || dec == nullptr) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  AVStream* st = d->fmt->streams[d->stream_idx];
+  d->codec = avcodec_alloc_context3(dec);
+  if (!d->codec ||
+      avcodec_parameters_to_context(d->codec, st->codecpar) < 0 ||
+      avcodec_open2(d->codec, dec, nullptr) < 0) {
+    if (d->codec) avcodec_free_context(&d->codec);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->fps = stream_fps(st);
+  d->nb_frames = st->nb_frames;
+  if (st->duration > 0) {
+    d->duration_sec = st->duration * av_q2d(st->time_base);
+  } else if (d->fmt->duration > 0) {
+    d->duration_sec = static_cast<double>(d->fmt->duration) / AV_TIME_BASE;
+  }
+  if (d->nb_frames <= 0 && d->fps > 0 && d->duration_sec > 0) {
+    d->nb_frames = static_cast<int64_t>(d->duration_sec * d->fps);
+  }
+  d->width = d->codec->width;
+  d->height = d->codec->height;
+  return d;
+}
+
+int pmv_info(void* handle, double* fps, long long* nb_frames, int* width,
+             int* height, double* duration_sec) {
+  if (!handle) return -1;
+  auto* d = static_cast<Decoder*>(handle);
+  if (fps) *fps = d->fps;
+  if (nb_frames) *nb_frames = d->nb_frames;
+  if (width) *width = d->width;
+  if (height) *height = d->height;
+  if (duration_sec) *duration_sec = d->duration_sec;
+  return 0;
+}
+
+// Decode `count` frames at the given (sorted, possibly repeated) frame
+// indices, scale each to (out_w, out_h) RGB24 and write packed into `out`
+// (count * out_h * out_w * 3 bytes). Seeks to the keyframe before the first
+// index and decodes forward only through the window — the PTS-selective
+// strategy of the reference pyav path (decoder.py:416-489).
+int pmv_decode_frames(void* handle, const long long* indices, int count,
+                      unsigned char* out, int out_w, int out_h) {
+  if (!handle || count <= 0) return -1;
+  auto* d = static_cast<Decoder*>(handle);
+  if (d->fps <= 0) return -2;
+  AVStream* st = d->fmt->streams[d->stream_idx];
+
+  int64_t first = indices[0];
+  int64_t last = indices[count - 1];
+  for (int i = 0; i < count; ++i) {
+    first = std::min<int64_t>(first, indices[i]);
+    last = std::max<int64_t>(last, indices[i]);
+  }
+
+  // Seek to slightly before the first needed frame (backward keyframe).
+  double t0 = static_cast<double>(first) / d->fps;
+  int64_t seek_ts = static_cast<int64_t>(t0 / av_q2d(st->time_base));
+  av_seek_frame(d->fmt, d->stream_idx, seek_ts, AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(d->codec);
+
+  SwsContext* sws =
+      sws_getContext(d->width, d->height, d->codec->pix_fmt, out_w, out_h,
+                     AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!sws) return -3;
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int filled = 0;
+  int64_t frame_count = -1;  // index of the most recently decoded frame
+  bool started = false;
+  double tb = av_q2d(st->time_base);
+  const size_t frame_bytes = static_cast<size_t>(out_w) * out_h * 3;
+
+  auto emit = [&](AVFrame* f, int64_t idx) {
+    // Write f into every output slot whose requested index == idx.
+    uint8_t* dst_data[4] = {nullptr, nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {out_w * 3, 0, 0, 0};
+    for (int i = 0; i < count; ++i) {
+      if (indices[i] == idx) {
+        dst_data[0] = out + frame_bytes * i;
+        sws_scale(sws, f->data, f->linesize, 0, d->height, dst_data,
+                  dst_linesize);
+        ++filled;
+      }
+    }
+  };
+
+  int ret = 0;
+  while (filled < count && (ret = av_read_frame(d->fmt, pkt)) >= 0) {
+    if (pkt->stream_index != d->stream_idx) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    if (avcodec_send_packet(d->codec, pkt) == 0) {
+      while (avcodec_receive_frame(d->codec, frame) == 0) {
+        int64_t pts = frame->best_effort_timestamp;
+        int64_t idx;
+        if (pts != AV_NOPTS_VALUE) {
+          idx = static_cast<int64_t>(std::llround(pts * tb * d->fps));
+          started = true;
+        } else {
+          idx = started ? frame_count + 1 : 0;
+        }
+        frame_count = idx;
+        if (idx >= first) emit(frame, idx);
+        if (idx >= last) {
+          filled = filled >= count ? filled : filled;  // keep draining below
+        }
+        av_frame_unref(frame);
+        if (frame_count >= last && filled >= count) break;
+      }
+    }
+    av_packet_unref(pkt);
+    if (frame_count >= last && filled >= count) break;
+    // Safety: if we've decoded well past the window, stop.
+    if (frame_count > last + 64) break;
+  }
+  // Flush decoder for tail frames.
+  if (filled < count) {
+    avcodec_send_packet(d->codec, nullptr);
+    while (avcodec_receive_frame(d->codec, frame) == 0) {
+      int64_t pts = frame->best_effort_timestamp;
+      int64_t idx = (pts != AV_NOPTS_VALUE)
+                        ? static_cast<int64_t>(std::llround(pts * tb * d->fps))
+                        : frame_count + 1;
+      frame_count = idx;
+      if (idx >= first) emit(frame, idx);
+      av_frame_unref(frame);
+      if (filled >= count) break;
+    }
+    avcodec_flush_buffers(d->codec);
+  }
+  // Clamp: indices are sorted and decode order is ascending, so unfilled
+  // slots form a tail. Duplicate the last decoded frame into them (short
+  // videos — matches the reference's linspace index clamping).
+  if (filled < count && filled > 0) {
+    for (int i = filled; i < count; ++i) {
+      std::memcpy(out + frame_bytes * i, out + frame_bytes * (filled - 1),
+                  frame_bytes);
+    }
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  sws_freeContext(sws);
+  return filled > 0 ? filled : -4;
+}
+
+void pmv_close(void* handle) {
+  if (!handle) return;
+  auto* d = static_cast<Decoder*>(handle);
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Raw RGB24 AVI writer — lets tests synthesize real decodable videos without
+// an encoder dependency (uncompressed 'DIB ' fourcc video in an AVI).
+// Kept in C++ so the roundtrip test exercises the same libavformat build.
+int pmv_write_test_video(const char* path, const unsigned char* rgb,
+                         int num_frames, int width, int height, int fps) {
+  AVFormatContext* ofmt = nullptr;
+  avformat_alloc_output_context2(&ofmt, nullptr, "avi", path);
+  if (!ofmt) return -1;
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_RAWVIDEO);
+  if (!codec) return -2;
+  AVStream* st = avformat_new_stream(ofmt, codec);
+  AVCodecContext* c = avcodec_alloc_context3(codec);
+  c->codec_id = AV_CODEC_ID_RAWVIDEO;
+  c->width = width;
+  c->height = height;
+  c->pix_fmt = AV_PIX_FMT_BGR24;
+  c->time_base = AVRational{1, fps};
+  st->time_base = c->time_base;
+  if (avcodec_open2(c, codec, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(st->codecpar, c);
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&ofmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+  }
+  if (avformat_write_header(ofmt, nullptr) < 0) return -5;
+
+  AVFrame* frame = av_frame_alloc();
+  frame->format = c->pix_fmt;
+  frame->width = width;
+  frame->height = height;
+  av_frame_get_buffer(frame, 0);
+  AVPacket* pkt = av_packet_alloc();
+  const size_t fbytes = static_cast<size_t>(width) * height * 3;
+  for (int i = 0; i < num_frames; ++i) {
+    av_frame_make_writable(frame);
+    // RGB -> BGR swizzle row-by-row into the frame buffer.
+    const unsigned char* src = rgb + fbytes * i;
+    for (int y = 0; y < height; ++y) {
+      uint8_t* drow = frame->data[0] + y * frame->linesize[0];
+      const unsigned char* srow = src + static_cast<size_t>(y) * width * 3;
+      for (int x = 0; x < width; ++x) {
+        drow[x * 3 + 0] = srow[x * 3 + 2];
+        drow[x * 3 + 1] = srow[x * 3 + 1];
+        drow[x * 3 + 2] = srow[x * 3 + 0];
+      }
+    }
+    frame->pts = i;
+    if (avcodec_send_frame(c, frame) == 0) {
+      while (avcodec_receive_packet(c, pkt) == 0) {
+        av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        av_interleaved_write_frame(ofmt, pkt);
+        av_packet_unref(pkt);
+      }
+    }
+  }
+  avcodec_send_frame(c, nullptr);
+  while (avcodec_receive_packet(c, pkt) == 0) {
+    av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+    pkt->stream_index = st->index;
+    av_interleaved_write_frame(ofmt, pkt);
+    av_packet_unref(pkt);
+  }
+  av_write_trailer(ofmt);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  avcodec_free_context(&c);
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&ofmt->pb);
+  avformat_free_context(ofmt);
+  return 0;
+}
+
+}  // extern "C"

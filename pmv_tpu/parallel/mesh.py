@@ -1,0 +1,79 @@
+"""Device mesh + sharding utilities.
+
+TPU-native replacement for the reference's mp.spawn/DDP/NCCL runtime
+(`MViT/slowfast/utils/{multiprocessing,distributed}.py`, SURVEY.md section
+2.5): a single-controller JAX program lays a Mesh over all devices; the
+train step is jitted with NamedSharding constraints and XLA inserts ICI/DCN
+collectives for gradient reduction. `NUM_GPUS`/`NUM_SHARDS` keep their
+config meaning (devices per host x hosts) for recipe compatibility, but the
+mesh is always global.
+"""
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pmv_tpu.utils import logging as pmv_logging
+
+logger = pmv_logging.get_logger(__name__)
+
+
+def init_distributed(cfg):
+    """Multi-host rendezvous (`jax.distributed.initialize`).
+
+    Replaces torch init_process_group + TCP store (`multiprocessing.py:36-55`).
+    No-op for single-process jobs.
+    """
+    if cfg.NUM_SHARDS > 1 and cfg.TPU.COORDINATOR_ADDRESS:
+        jax.distributed.initialize(
+            coordinator_address=cfg.TPU.COORDINATOR_ADDRESS,
+            num_processes=(
+                cfg.TPU.NUM_PROCESSES
+                if cfg.TPU.NUM_PROCESSES > 0
+                else cfg.NUM_SHARDS
+            ),
+            process_id=(
+                cfg.TPU.PROCESS_ID if cfg.TPU.PROCESS_ID >= 0 else cfg.SHARD_ID
+            ),
+        )
+
+
+def create_mesh(cfg=None, devices=None, axis_names=None, shape=None):
+    """Build a Mesh. Default: 1-D data-parallel mesh over all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if cfg is not None:
+        axis_names = axis_names or tuple(cfg.TPU.MESH_AXES)
+        shape = shape or (tuple(cfg.TPU.MESH_SHAPE) or None)
+    axis_names = tuple(axis_names or ("data",))
+    if shape:
+        assert int(np.prod(shape)) == len(devices), (
+            f"mesh shape {shape} != {len(devices)} devices"
+        )
+        dev_array = np.asarray(devices).reshape(shape)
+    else:
+        dev_array = np.asarray(devices).reshape((len(devices),) + (1,) * (len(axis_names) - 1))
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh):
+    """Shard the leading (batch) axis over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh):
+    """Device_put a host batch pytree with batch-axis sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(tree, mesh):
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -10,9 +10,20 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# Cheap CPU compiles: tests verify math, not codegen quality.
+flags += " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+os.environ["XLA_FLAGS"] = flags.strip()
+
+import jax  # noqa: E402
+
+# Belt and braces: if jax was imported before this conftest (pytest plugins),
+# the env var alone is ignored — force the platform through the config too.
+# This must run before any backend-initializing jax call.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,128 @@
+"""Loader + dataset tests (synthetic and real-video CSV paths)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pmv_tpu.config import get_cfg
+from pmv_tpu.data.build import build_dataset
+from pmv_tpu.data.loader import DataLoader, construct_loader
+import pmv_tpu.data.synthetic  # noqa: F401  (register)
+import pmv_tpu.data.kinetics  # noqa: F401  (register)
+
+
+def test_synthetic_loader_shapes():
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.MODEL.NUM_CLASSES = 10
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    loader = construct_loader(cfg, "train")
+    batch = next(iter(loader))
+    assert batch["frames"].shape == (4, 2, 16, 16, 3)
+    assert batch["frames"].dtype == np.uint8
+    assert batch["labels"].shape == (4,)
+    assert batch["pm"].dtype == bool
+
+
+def test_loader_epoch_reshuffle():
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.DATA.NUM_FRAMES = 1
+    cfg.DATA.TRAIN_CROP_SIZE = 8
+    loader = construct_loader(cfg, "train")
+    loader.set_epoch(0)
+    b0 = next(iter(loader))["index"]
+    loader.set_epoch(1)
+    b1 = next(iter(loader))["index"]
+    assert not np.array_equal(b0, b1)
+    # Same epoch -> deterministic.
+    loader.set_epoch(0)
+    b0_again = next(iter(loader))["index"]
+    np.testing.assert_array_equal(b0, b0_again)
+
+
+def test_loader_sharding_disjoint():
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.DATA.NUM_FRAMES = 1
+    cfg.DATA.TRAIN_CROP_SIZE = 8
+    ds = build_dataset("synthetic", cfg, "train")
+    l0 = DataLoader(ds, 8, shuffle=True, drop_last=True, process_index=0, process_count=2)
+    l1 = DataLoader(ds, 8, shuffle=True, drop_last=True, process_index=1, process_count=2)
+    i0 = set(np.concatenate([b["index"] for b in l0]))
+    i1 = set(np.concatenate([b["index"] for b in l1]))
+    assert i0.isdisjoint(i1)
+    assert len(i0) + len(i1) == len(ds)
+
+
+@pytest.fixture
+def pmv_csv_dataset(tmp_path):
+    """A tiny on-disk PMV-style dataset: portrait + landscape videos + CSV."""
+    from pmv_tpu.native import binding
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, (h, w) in enumerate([(128, 72), (72, 128), (128, 72), (96, 96)]):
+        frames = rng.integers(0, 255, (40, h, w, 3), dtype=np.uint8)
+        name = f"v{i}.avi"
+        binding.write_test_video(vids / name, frames, fps=30)
+        rows.append(f"{name},{i % 3}")
+    csv = tmp_path / "train_pmv400.csv"
+    csv.write_text("\n".join(rows) + "\n")
+    (tmp_path / "test_pmv400.csv").write_text("\n".join(rows) + "\n")
+    return tmp_path, vids
+
+
+def test_kinetics_pmv_train(pmv_csv_dataset):
+    root, vids = pmv_csv_dataset
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.PATH_PREFIX = str(vids)
+    cfg.DATA.PM_SUBSET = "_pmv400"
+    cfg.DATA.PATH_LABEL_SEPARATOR = ","
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [80, 96]
+    cfg.DATA.TRAIN_CROP_SIZE_RECT = [64, 48]
+    cfg.DATA.TRAIN_CROP_SIZE_RECT_SWITCH_AUTO = True
+    cfg.DATA.TRAIN_JITTER_SCALES_AUTO_ADJUST = True
+    ds = build_dataset("kinetics", cfg, "train")
+    assert len(ds) == 4
+    # SWITCH_AUTO yields a homogeneous batch shape: portrait videos (h>w)
+    # take the reversed crop then a transpose back to the ori rect shape with
+    # pm=True; landscape videos take the ori crop directly (pm=False)
+    # (`kinetics.py:465-503`).
+    s0 = ds[0]  # 128x72 portrait
+    assert s0["frames"].shape == (4, 64, 48, 3)
+    assert s0["pm"]
+    s1 = ds[1]  # 72x128 landscape
+    assert s1["frames"].shape == (4, 64, 48, 3)
+    assert not s1["pm"]
+
+
+def test_kinetics_pmv_test_multiview(pmv_csv_dataset):
+    root, vids = pmv_csv_dataset
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.PATH_PREFIX = str(vids)
+    cfg.DATA.PM_SUBSET = "_pmv400"
+    cfg.DATA.PATH_LABEL_SEPARATOR = ","
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 48
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    ds = build_dataset("kinetics", cfg, "test")
+    assert len(ds) == 4 * 6
+    views = [ds[i] for i in range(6)]  # all views of video 0
+    for v in views:
+        assert v["frames"].shape == (4, 48, 48, 3)
+    # Deterministic: same view twice must be identical.
+    again = ds[3]
+    np.testing.assert_array_equal(views[3]["frames"], again["frames"])

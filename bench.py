@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Benchmark: MViTv2-S 16x4 training-step throughput (clips/sec/chip).
+
+Runs the full jitted train step (on-device preprocessing + mixup + fwd/bwd +
+AdamW update) on synthetic data on the available accelerator and prints ONE
+JSON line.
+
+vs_baseline compares against an estimated A100 number for the same step:
+MViTv2-S 16x4 is 64.5 GFLOPs/clip forward (MViT/MODEL_ZOO.md:17 lists 64G);
+training ~= 3x forward = 193 GFLOPs/clip; an A100 at 40% bf16 MFU
+(312 TF/s peak) sustains ~125 TF/s => ~645 clips/s/GPU. The north-star
+target (BASELINE.json) is >=2x that per chip.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_CLIPS_PER_SEC = 645.0
+
+
+def main():
+    from __graft_entry__ import _mvitv2_s_cfg
+    from pmv_tpu.engine import steps
+    from pmv_tpu.models import build_model
+    from pmv_tpu.parallel import mesh as mesh_lib
+
+    cfg = _mvitv2_s_cfg(tiny=False)
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        # CI fallback: tiny config so the bench finishes.
+        cfg = _mvitv2_s_cfg(tiny=True)
+        batch_size = 8
+    else:
+        # Reference recipe is bs 32 over 8 GPUs = 4 clips/device
+        # (`exps/PMV/run_MViT_PMV.sh`); 8/chip keeps the MXU fed.
+        batch_size = 8
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(
+            rng_np.integers(
+                0, 255,
+                (batch_size, cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE,
+                 cfg.DATA.TRAIN_CROP_SIZE, 3),
+                dtype=np.uint8,
+            )
+        ),
+        "labels": jnp.asarray(
+            rng_np.integers(0, cfg.MODEL.NUM_CLASSES, (batch_size,),
+                            dtype=np.int64)
+        ),
+    }
+    mesh = mesh_lib.create_mesh()
+    state, tx = steps.init_state(cfg, model, batch, rng)
+    state = mesh_lib.replicate(state, mesh)
+    device_batch = mesh_lib.shard_batch(batch, mesh)
+    train_step = jax.jit(steps.make_train_step(cfg, model, tx))
+
+    # Warmup / compile.
+    import sys
+
+    t_c = time.perf_counter()
+    for i in range(3):
+        state, metrics = train_step(state, device_batch, rng, 1e-4)
+        jax.block_until_ready(metrics["loss"])
+        print(
+            f"# warmup {i}: {time.perf_counter() - t_c:.1f}s",
+            file=sys.stderr,
+        )
+        t_c = time.perf_counter()
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, device_batch, rng, 1e-4)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    clips_per_sec_per_chip = batch_size * n_steps / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_clips_per_sec_per_chip_mvitv2s_16x4",
+                "value": round(clips_per_sec_per_chip, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(
+                    clips_per_sec_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

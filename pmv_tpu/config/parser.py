@@ -42,7 +42,7 @@ def parse_args(argv=None):
         nargs="+",
     )
     parser.add_argument(
-        "opts",
+        "--opts",
         help="See pmv_tpu/config/defaults.py for all options",
         default=None,
         nargs=argparse.REMAINDER,

@@ -43,7 +43,10 @@ class Synthetic:
 
     def __getitem__(self, index):
         cfg = self.cfg
-        rng = np.random.default_rng(index)
+        # Label (and base content) must be per-video, not per-view, so
+        # multi-view ensembling sees consistent labels across views.
+        video_id = index // self._num_clips
+        rng = np.random.default_rng(video_id)
         t = cfg.DATA.NUM_FRAMES
         h, w = self._crop
         frames = rng.integers(0, 255, (t, h, w, 3), dtype=np.uint8)

@@ -1,0 +1,152 @@
+"""Multi-view testing (`MViT/tools/test_net.py:27-381`).
+
+perform_test: every test-loader sample is one deterministic
+(temporal_view, spatial_crop) of a video; per-clip softmax scores are
+ensembled per-video in the TestMeter (sum/max, `meters.py:247-436`).
+Cross-host gathers use `multihost_utils.process_allgather` (the XLA-native
+equivalent of the reference's `du.all_gather`, `test_net.py:131-136`).
+Includes the dense spatial-crop ratio-grid sweep (`test_net.py:358-379`).
+"""
+
+import os
+import pickle
+import pprint
+
+import jax
+import numpy as np
+
+from pmv_tpu.data import loader as loader_mod
+from pmv_tpu.engine import steps
+from pmv_tpu.engine.train import _make_pm_eval_step
+from pmv_tpu.models import build_model
+from pmv_tpu.parallel import mesh as mesh_lib
+from pmv_tpu.utils import checkpoint as cu
+from pmv_tpu.utils import logging as pmv_logging
+from pmv_tpu.utils import meters as meters_mod
+from pmv_tpu.utils import misc
+
+logger = pmv_logging.get_logger(__name__)
+
+
+def _allgather_if_multihost(arrays):
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+
+    return [multihost_utils.process_allgather(a) for a in arrays]
+
+
+def perform_test(test_loader, eval_step, eval_step_pm, state, test_meter, cfg, mesh):
+    test_meter.iter_tic()
+    for cur_iter, batch in enumerate(test_loader):
+        frames = jax.device_put(batch["frames"], mesh_lib.batch_sharding(mesh))
+        test_meter.data_toc()
+        if eval_step_pm is not None and batch["pm"].any():
+            import jax.numpy as jnp
+
+            preds = eval_step_pm(state, frames, jnp.asarray(batch["pm"]))
+        else:
+            preds = eval_step(state, frames)
+        preds = np.asarray(jax.device_get(preds))
+        labels, video_idx = batch["labels"], batch["index"]
+        preds, labels, video_idx = _allgather_if_multihost(
+            [preds, labels, video_idx]
+        )
+        test_meter.iter_toc()
+        test_meter.update_stats(preds, labels, video_idx)
+        test_meter.log_iter_stats(cur_iter)
+        test_meter.iter_tic()
+    stats = test_meter.finalize_metrics()
+    return test_meter, stats
+
+
+def test_one(cfg, state, model, model_port, mesh, rel_ratio=None):
+    test_loader = loader_mod.construct_loader(cfg, "test")
+    logger.info("Testing model for %d iterations", len(test_loader))
+
+    assert len(test_loader.dataset) % (
+        cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    ) == 0, "test set size must divide by the view protocol"
+    num_videos = len(test_loader.dataset) // (
+        cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    )
+    test_meter = meters_mod.TestMeter(
+        num_videos,
+        cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS,
+        cfg.MODEL.NUM_CLASSES,
+        len(test_loader),
+        multi_label=cfg.DATA.MULTI_LABEL,
+        ensemble_method=cfg.DATA.ENSEMBLE_METHOD,
+    )
+
+    eval_step = jax.jit(steps.make_eval_step(cfg, model))
+    eval_step_pm = (
+        jax.jit(_make_pm_eval_step(cfg, model, model_port))
+        if model_port is not None
+        else None
+    )
+    test_meter, stats = perform_test(
+        test_loader, eval_step, eval_step_pm, state, test_meter, cfg, mesh
+    )
+
+    if cfg.TEST.SAVE_RESULTS_PATH and jax.process_index() == 0:
+        tag = "" if rel_ratio is None else f"_r{rel_ratio[0]:.2f}x{rel_ratio[1]:.2f}"
+        save_path = os.path.join(
+            cfg.OUTPUT_DIR, cfg.TEST.SAVE_RESULTS_PATH + tag
+        )
+        with open(save_path, "wb") as f:
+            pickle.dump(
+                {
+                    "video_preds": test_meter.video_preds,
+                    "video_labels": test_meter.video_labels,
+                },
+                f,
+            )
+        logger.info("Testing results saved to %s", save_path)
+    return stats
+
+
+def test(cfg):
+    """Multi-view test entry (mirrors `tools/test_net.py` test)."""
+    pmv_logging.setup_logging(cfg.OUTPUT_DIR)
+    np.random.seed(cfg.RNG_SEED)
+    logger.info("Test with config:")
+    logger.info(pprint.pformat(cfg))
+    cfg = cfg.clone()
+    cfg.TEST.PROCESS = True
+
+    mesh = mesh_lib.create_mesh(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    model = build_model(cfg)
+    needs_pm = cfg.DATA.TEST_CROP_SIZE_RECT_SWITCH_AUTO
+    model_port = build_model(cfg, hw_switch=True) if needs_pm else None
+
+    # Init from one test batch's geometry.
+    test_loader = loader_mod.construct_loader(cfg, "test")
+    example = next(iter(test_loader))
+    state, _ = steps.init_state(
+        cfg, model, {"frames": example["frames"], "labels": example["labels"]},
+        rng,
+    )
+    if cfg.LOG_MODEL_INFO:
+        misc.log_model_info(state, cfg)
+    state = cu.load_test_checkpoint(cfg, state)
+    state = mesh_lib.replicate(state, mesh)
+
+    if cfg.TEST.DENSE_SPATIAL_CROP:
+        # Ratio-grid sweep (`test_net.py:358-379`).
+        n = cfg.TEST.DENSE_SPATIAL_CROP_STEPS
+        grid = np.linspace(0, 1, n)
+        all_stats = []
+        for rh in grid:
+            for rw in grid:
+                sweep_cfg = cfg.clone()
+                sweep_cfg.TEST.SPATIAL_SAMPLE_INDEX = -2
+                sweep_cfg.TEST.SPATIAL_SAMPLE_RATIO = [float(rh), float(rw)]
+                sweep_cfg.TEST.NUM_SPATIAL_CROPS = 1
+                all_stats.append(
+                    test_one(sweep_cfg, state, model, model_port, mesh,
+                             rel_ratio=(rh, rw))
+                )
+        return all_stats
+    return test_one(cfg, state, model, model_port, mesh)

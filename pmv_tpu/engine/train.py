@@ -1,0 +1,225 @@
+"""Training loop (`MViT/tools/train_net.py:550-814`), single-controller JAX.
+
+Structure parity with the reference train():
+seeds -> build model/optimizer -> auto-resume -> loaders -> meters/TB ->
+epoch loop {shuffle, train_epoch, precise-BN, checkpoint, eval_epoch} ->
+final result string. The per-iteration hot loop is one jitted sharded step
+(engine/steps.py); H2D transfer is a single device_put per batch.
+
+Portrait (`pm`) batches: when a batch contains portrait samples the engine
+invokes the pm-aware step variant (portrait specialization over shared
+params); the released PMV recipes keep SWITCH_AUTO off so the common path
+compiles exactly one program.
+"""
+
+import math
+import pprint
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmv_tpu.data import loader as loader_mod
+from pmv_tpu.engine import steps
+from pmv_tpu.models import build_model
+from pmv_tpu.models import optimizer as optim
+from pmv_tpu.parallel import mesh as mesh_lib
+from pmv_tpu.utils import checkpoint as cu
+from pmv_tpu.utils import logging as pmv_logging
+from pmv_tpu.utils import meters as meters_mod
+from pmv_tpu.utils import misc
+from pmv_tpu.utils.lr_policy import get_lr_at_epoch
+
+logger = pmv_logging.get_logger(__name__)
+
+
+def train_epoch(
+    train_loader, train_step, train_step_pm, state, meter, cur_epoch, cfg,
+    mesh, rng,
+):
+    data_size = len(train_loader)
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(train_loader):
+        epoch_exact = cur_epoch + float(cur_iter) / data_size
+        lr = get_lr_at_epoch(cfg, epoch_exact)
+        device_batch = mesh_lib.shard_batch(
+            {
+                "frames": batch["frames"],
+                "labels": batch["labels"],
+                "pm": batch["pm"],
+            },
+            mesh,
+        )
+        meter.data_toc()
+        step_fn = train_step_pm if batch["pm"].any() else train_step
+        state, metrics = step_fn(state, device_batch, rng, lr)
+        metrics = jax.device_get(metrics)
+        if bool(metrics["nan"]):
+            raise RuntimeError(
+                f"ERROR: Got NaN losses at iter {cur_iter} "
+                f"(`misc.py:28-36` NaN guard)"
+            )
+        if (
+            cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR > 0.0
+            and meter.loss.count > 10
+            and float(metrics["loss"])
+            > cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR * meter.loss.get_global_avg()
+        ):
+            raise RuntimeError(
+                f"ERROR: Got Loss explosion of {float(metrics['loss'])}"
+            )
+        meter.iter_toc()
+        meter.update_stats(
+            float(metrics["top1_err"]),
+            float(metrics["top5_err"]),
+            float(metrics["loss"]),
+            lr,
+            float(metrics["grad_norm"]),
+            batch["frames"].shape[0] * max(cfg.NUM_SHARDS, 1),
+        )
+        meter.log_iter_stats(cur_epoch, cur_iter)
+        meter.iter_tic()
+    meter.log_epoch_stats(cur_epoch)
+    meter.reset()
+    return state
+
+
+def eval_epoch(val_loader, eval_step, eval_step_pm, state, meter, cur_epoch, cfg, mesh):
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(val_loader):
+        frames = jax.device_put(batch["frames"], mesh_lib.batch_sharding(mesh))
+        meter.data_toc()
+        if eval_step_pm is not None and batch["pm"].any():
+            preds = eval_step_pm(state, frames, jnp.asarray(batch["pm"]))
+        else:
+            preds = eval_step(state, frames)
+        preds = np.asarray(jax.device_get(preds))
+        labels = batch["labels"]
+        from pmv_tpu.utils import metrics as metrics_mod
+
+        num_topks = metrics_mod.topks_correct(preds, labels, (1, 5))
+        top1_err, top5_err = [
+            (1.0 - float(x) / preds.shape[0]) * 100.0 for x in num_topks
+        ]
+        meter.iter_toc()
+        meter.update_stats(top1_err, top5_err, preds.shape[0] * max(cfg.NUM_SHARDS, 1))
+        meter.update_predictions(preds, labels)
+        meter.log_iter_stats(cur_epoch, cur_iter)
+        meter.iter_tic()
+    stats = meter.log_epoch_stats(cur_epoch)
+    meter.reset()
+    return stats
+
+
+def _make_pm_eval_step(cfg, model_land, model_port):
+    """Eval step selecting per-sample between orientations."""
+
+    def eval_step_pm(state, frames, pm):
+        mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
+        std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+        x = (frames.astype(jnp.float32) - mean) / std
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        inputs = steps.pack_pathways(cfg, x)
+        xs = inputs[0] if len(inputs) == 1 else inputs
+        preds_land = model_land.apply(variables, xs, train=False)
+        x_t = jnp.swapaxes(x, 2, 3)
+        inputs_t = steps.pack_pathways(cfg, x_t)
+        xt = inputs_t[0] if len(inputs_t) == 1 else inputs_t
+        preds_port = model_port.apply(variables, xt, train=False)
+        return jnp.where(pm[:, None], preds_port, preds_land)
+
+    return eval_step_pm
+
+
+def train(cfg):
+    """Train a model per cfg (entry mirrored from `tools/train_net.py`)."""
+    pmv_logging.setup_logging(cfg.OUTPUT_DIR)
+    np.random.seed(cfg.RNG_SEED)
+    logger.info("Train with config:")
+    logger.info(pprint.pformat(cfg))
+
+    mesh = mesh_lib.create_mesh(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+
+    model = build_model(cfg)
+    needs_pm = (
+        cfg.DATA.TRAIN_CROP_SIZE_RECT_SWITCH_AUTO
+        or cfg.DATA.TEST_CROP_SIZE_RECT_SWITCH_AUTO
+    )
+    model_port = build_model(cfg, hw_switch=True) if needs_pm else None
+
+    train_loader = loader_mod.construct_loader(cfg, "train")
+    val_loader = loader_mod.construct_loader(cfg, "val")
+
+    example = next(iter(train_loader))
+    example_batch = {
+        "frames": example["frames"],
+        "labels": example["labels"],
+    }
+    state, tx = steps.init_state(cfg, model, example_batch, rng)
+    if cfg.LOG_MODEL_INFO:
+        misc.log_model_info(state, cfg)
+    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    state = mesh_lib.replicate(state, mesh)
+
+    train_step = jax.jit(steps.make_train_step(cfg, model, tx))
+    train_step_pm = (
+        jax.jit(steps.make_train_step(cfg, model, tx, model_pm=model_port))
+        if needs_pm
+        else train_step
+    )
+    eval_step = jax.jit(steps.make_eval_step(cfg, model))
+    eval_step_pm = (
+        jax.jit(_make_pm_eval_step(cfg, model, model_port))
+        if needs_pm
+        else None
+    )
+
+    train_meter = meters_mod.TrainMeter(len(train_loader), cfg)
+    val_meter = meters_mod.ValMeter(len(val_loader), cfg)
+    epoch_timer = meters_mod.EpochTimer()
+
+    logger.info("Start epoch: %d", start_epoch + 1)
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        train_loader.set_epoch(cur_epoch)
+        epoch_timer.epoch_tic()
+        state = train_epoch(
+            train_loader, train_step, train_step_pm, state, train_meter,
+            cur_epoch, cfg, mesh, rng,
+        )
+        epoch_timer.epoch_toc()
+        logger.info(
+            "Epoch %d takes %.2fs. Epochs from %d to %d take %.2fs in "
+            "average and %.2fs in median.",
+            cur_epoch, epoch_timer.last_epoch_time(), start_epoch,
+            cur_epoch, epoch_timer.avg_epoch_time(),
+            epoch_timer.median_epoch_time(),
+        )
+
+        is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch)
+        is_eval = misc.is_eval_epoch(cfg, cur_epoch)
+
+        if cfg.BN.USE_PRECISE_STATS and state.batch_stats:
+            from pmv_tpu.engine import precise_bn
+
+            state = precise_bn.calculate_and_update_precise_bn(
+                train_loader, state, cfg, model, mesh,
+            )
+
+        if is_checkp and jax.process_index() == 0:
+            cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+        if is_eval:
+            eval_epoch(
+                val_loader, eval_step, eval_step_pm, state, val_meter,
+                cur_epoch, cfg, mesh,
+            )
+
+    result_string = (
+        f"_p{misc.params_count(state.params) / 1e6:.2f}M "
+        f"_t{epoch_timer.median_epoch_time() / 60:.2f}m "
+        f"top1 {val_meter.min_top1_err:.2f} top5 {val_meter.min_top5_err:.2f}"
+    )
+    logger.info("training done: %s", result_string)
+    return result_string

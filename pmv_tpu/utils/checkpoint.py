@@ -1,0 +1,148 @@
+"""Checkpointing (`MViT/slowfast/utils/checkpoint.py`), on orbax.
+
+Behavior parity:
+- master-only writes, epoch-numbered directories
+  `checkpoints/checkpoint_epoch_{epoch:05d}` (`checkpoint.py:115-149`).
+- `get_last_checkpoint` lexicographic max (`checkpoint.py:61-79`).
+- auto-resume (`TRAIN.AUTO_RESUME`) and the test-checkpoint priority chain
+  TEST.CHECKPOINT_FILE_PATH -> last -> TRAIN.CHECKPOINT_FILE_PATH
+  (`checkpoint.py:667-704`).
+- PyTorch `.pyth` checkpoints load through the importer in
+  `pmv_tpu/utils/torch_import.py` (2D->3D inflation, name mapping).
+"""
+
+import os
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from pmv_tpu.utils import logging as pmv_logging
+
+logger = pmv_logging.get_logger(__name__)
+
+_CHECKPOINT_DIR = "checkpoints"
+_NAME_RE = re.compile(r"checkpoint_epoch_(\d+)$")
+
+
+def make_checkpoint_dir(path_to_job):
+    d = os.path.join(path_to_job, _CHECKPOINT_DIR)
+    if jax.process_index() == 0:
+        os.makedirs(d, exist_ok=True)
+    return d
+
+
+def get_path_to_checkpoint(path_to_job, epoch, task=""):
+    name = f"checkpoint_epoch_{epoch:05d}"
+    if task:
+        name = f"{task}_{name}"
+    return os.path.join(path_to_job, _CHECKPOINT_DIR, name)
+
+
+def get_last_checkpoint(path_to_job, task=""):
+    d = os.path.join(path_to_job, _CHECKPOINT_DIR)
+    if not os.path.isdir(d):
+        return None
+    names = [
+        f for f in os.listdir(d)
+        if _NAME_RE.search(f) and (not task or f.startswith(task))
+    ]
+    if not names:
+        return None
+    return os.path.join(d, sorted(names)[-1])
+
+
+def has_checkpoint(path_to_job, task=""):
+    return get_last_checkpoint(path_to_job, task) is not None
+
+
+def is_checkpoint_epoch(cfg, cur_epoch):
+    return (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0 or (
+        cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH
+    )
+
+
+def save_checkpoint(path_to_job, state, epoch, cfg, extra=None):
+    """Save the TrainState (params, batch_stats, opt_state) + epoch."""
+    make_checkpoint_dir(path_to_job)
+    path = get_path_to_checkpoint(path_to_job, epoch + 1, cfg.TASK)
+    payload = {
+        "epoch": np.int64(epoch),
+        "state": jax.device_get(state),
+    }
+    if extra:
+        payload.update(extra)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    logger.info("Saved checkpoint to %s", path)
+    return path
+
+
+def load_checkpoint(path, state=None):
+    """Load a checkpoint. With a template `state`, restores exact pytree
+    structure/dtypes; returns (state, epoch)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    if state is not None:
+        template = {"epoch": np.int64(0), "state": jax.device_get(state)}
+        payload = ckptr.restore(os.path.abspath(path), item=template)
+    else:
+        payload = ckptr.restore(os.path.abspath(path))
+    return payload["state"], int(payload["epoch"])
+
+
+def load_train_checkpoint(cfg, state):
+    """Auto-resume / init logic (`train_net.py:589-631`). Returns
+    (state, start_epoch)."""
+    if cfg.TRAIN.AUTO_RESUME and has_checkpoint(cfg.OUTPUT_DIR, cfg.TASK):
+        last = get_last_checkpoint(cfg.OUTPUT_DIR, cfg.TASK)
+        logger.info("Load from last checkpoint, %s.", last)
+        state, epoch = load_checkpoint(last, state)
+        return state, epoch + 1
+    if cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        logger.info(
+            "Load from given checkpoint file %s.",
+            cfg.TRAIN.CHECKPOINT_FILE_PATH,
+        )
+        if cfg.TRAIN.CHECKPOINT_TYPE == "pytorch":
+            from pmv_tpu.utils import torch_import
+
+            params = torch_import.load_torch_checkpoint_params(
+                cfg.TRAIN.CHECKPOINT_FILE_PATH, cfg, state.params,
+                inflate=cfg.TRAIN.CHECKPOINT_INFLATE,
+            )
+            state = state.replace(params=params)
+            return state, 0
+        state, epoch = load_checkpoint(cfg.TRAIN.CHECKPOINT_FILE_PATH, state)
+        if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
+            return state, 0
+        return state, epoch + 1
+    return state, 0
+
+
+def load_test_checkpoint(cfg, state):
+    """Test-time checkpoint priority chain (`checkpoint.py:667-704`)."""
+    if cfg.TEST.CHECKPOINT_FILE_PATH:
+        path = cfg.TEST.CHECKPOINT_FILE_PATH
+        if cfg.TEST.CHECKPOINT_TYPE == "pytorch" or path.endswith(
+            (".pyth", ".pth", ".pt")
+        ):
+            from pmv_tpu.utils import torch_import
+
+            params = torch_import.load_torch_checkpoint_params(
+                path, cfg, state.params
+            )
+            return state.replace(params=params)
+        state, _ = load_checkpoint(path, state)
+        return state
+    if has_checkpoint(cfg.OUTPUT_DIR, cfg.TASK):
+        last = get_last_checkpoint(cfg.OUTPUT_DIR, cfg.TASK)
+        state, _ = load_checkpoint(last, state)
+        return state
+    if cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        state, _ = load_checkpoint(cfg.TRAIN.CHECKPOINT_FILE_PATH, state)
+        return state
+    logger.info(
+        "Unknown way of loading checkpoint; using random initialization."
+    )
+    return state

@@ -184,8 +184,11 @@ def test_resnet_slow_tiny_forward():
 
 @pytest.mark.slow
 def test_mvitv2_s_param_count():
-    """MViTv2-S 16x4 with a 400-class head: 28,043,472 params
-    (`MViT/stdout.log:3605`, BASELINE.md)."""
+    """MViTv2-S 16x4 with a 400-class head: 34,537,744 params.
+
+    (The MViTv2 paper reports 34.5M for MViTv2-S; the 28,043,472 figure in
+    BASELINE.md is from `MViT/stdout.log`, which logs a MODEL_NAME 'ResNet'
+    run — see stdout.log:186 — so it is not an MViT number.)"""
     cfg = get_cfg()
     cfg.MODEL.MODEL_NAME = "MViT"
     cfg.MODEL.ARCH = "mvit"
@@ -226,4 +229,4 @@ def test_mvitv2_s_param_count():
     n_params = sum(
         np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables["params"])
     )
-    assert n_params == 28_043_472, f"got {n_params:,}"
+    assert n_params == 34_537_744, f"got {n_params:,}"

@@ -199,7 +199,9 @@ def init_state(cfg, model, example_batch, rng, tx=None):
     inputs = pack_pathways(cfg, x)
     if len(inputs) == 1:
         inputs = inputs[0]
-    variables = model.init(rng, inputs, train=False)
+    # Jit the init: un-jitted flax init runs the whole forward eagerly,
+    # which is pathologically slow on remote/tunneled backends.
+    variables = jax.jit(lambda k: model.init(k, inputs, train=False))(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if tx is None:

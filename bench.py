@@ -79,7 +79,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, device_batch, rng, 1e-4)
-    jax.block_until_ready(metrics["loss"])
+    # device_get of the scalar loss forces real completion (block_until_ready
+    # can return early through the tunneled backend).
+    jax.device_get(metrics["loss"])
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

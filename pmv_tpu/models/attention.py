@@ -41,13 +41,12 @@ def interpolate_rel_pos(rel_pos, d):
     return jax.image.resize(rel_pos, (d, rel_pos.shape[1]), method="linear")
 
 
-def rel_pos_spatial_bias(
-    q, q_shape, k_shape, rel_pos_h, rel_pos_w, has_cls_embed
-):
-    """Decomposed spatial rel-pos bias (`attention.py:67-117`).
+def rel_q_tables_spatial(q, q_shape, k_shape, rel_pos_h, rel_pos_w, has_cls_embed):
+    """Per-query-row spatial rel-pos tables (rel_h_q, rel_w_q).
 
-    q: [B, heads, Nq, C]. Returns bias [B, heads, Nq, Nk] with zero rows/cols
-    for the cls token.
+    q: [B, heads, Nq, C]. Returns ([B, heads, q_n, k_h], [B, heads, q_n, k_w])
+    for the token rows (cls excluded). Matches `attention.py:67-117` up to
+    the bias expansion.
     """
     sp_idx = 1 if has_cls_embed else 0
     q_t, q_h, q_w = q_shape
@@ -75,30 +74,20 @@ def rel_pos_spatial_bias(
     r_q = q[:, :, sp_idx:].reshape(B, n_head, q_t, q_h, q_w, dim)
     rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(q.dtype))
     rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(q.dtype))
-
-    # TPU layout note: never materialize tensors whose minor dims are tiny
-    # (k_h/k_w ~ 7 pad to 128-lane tiles, an ~18x HBM blowup — measured 63%
-    # of MViTv2-S forward time). Expand along the kN axis instead so every
-    # intermediate keeps the attention matrix layout [B, h, qN, kN]:
-    #   k index = ((k_t * k_h) + kh) * k_w + kw
     q_n = q_t * q_h * q_w
-    bias_h = rel_h_q.reshape(B, n_head, q_n, k_h)
-    bias_h = jnp.repeat(bias_h, k_w, axis=-1)  # [.., k_h*k_w]
-    bias_w = rel_w_q.reshape(B, n_head, q_n, k_w)
-    bias_w = jnp.tile(bias_w, (1, 1, 1, k_h))  # [.., k_h*k_w]
-    bias = jnp.tile(bias_h + bias_w, (1, 1, 1, k_t))  # [.., kN]
-    if sp_idx:
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
-    return bias
+    return (
+        rel_h_q.reshape(B, n_head, q_n, k_h),
+        rel_w_q.reshape(B, n_head, q_n, k_w),
+    )
 
 
-def rel_pos_temporal_bias(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
-    """Temporal rel-pos bias (`attention.py:120-159`)."""
+def rel_q_table_temporal(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
+    """Per-query-row temporal rel-pos table [B, heads, q_n, k_t]
+    (`attention.py:120-159` up to the bias expansion)."""
     sp_idx = 1 if has_cls_embed else 0
     q_t, q_h, q_w = q_shape
     k_t, k_h, k_w = k_shape
     dt = int(2 * max(q_t, k_t) - 1)
-
     q_t_ratio = max(k_t / q_t, 1.0)
     k_t_ratio = max(q_t / k_t, 1.0)
     dist_t = (
@@ -106,16 +95,41 @@ def rel_pos_temporal_bias(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
     )
     dist_t += (k_t - 1) * k_t_ratio
     Rt = interpolate_rel_pos(rel_pos_t, dt)[dist_t.astype(np.int64)]  # [qt, kt, C]
-
     B, n_head, _, dim = q.shape
     r_q = q[:, :, sp_idx:].reshape(B, n_head, q_t, q_h, q_w, dim)
     rel = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(q.dtype))
-    # Same layout rule as the spatial bias: expand along kN, never through
-    # an 8-D intermediate with tiny minor dims.
-    q_n = q_t * q_h * q_w
-    bias = rel.reshape(B, n_head, q_n, k_t)
+    return rel.reshape(B, n_head, q_t * q_h * q_w, k_t)
+
+
+def rel_pos_spatial_bias(
+    q, q_shape, k_shape, rel_pos_h, rel_pos_w, has_cls_embed
+):
+    """Decomposed spatial rel-pos bias in the attention-matrix layout.
+
+    TPU layout note: never materialize tensors whose minor dims are tiny
+    (k_h/k_w ~ 7 pad to 128-lane tiles, an ~18x HBM blowup — measured 63%
+    of MViTv2-S forward time). Expand along the kN axis instead so every
+    intermediate keeps the [B, h, qN, kN] layout:
+      k index = ((k_t * k_h) + kh) * k_w + kw
+    """
+    k_t, k_h, k_w = k_shape
+    bias_h, bias_w = rel_q_tables_spatial(
+        q, q_shape, k_shape, rel_pos_h, rel_pos_w, has_cls_embed
+    )
+    bias_h = jnp.repeat(bias_h, k_w, axis=-1)  # [.., k_h*k_w]
+    bias_w = jnp.tile(bias_w, (1, 1, 1, k_h))  # [.., k_h*k_w]
+    bias = jnp.tile(bias_h + bias_w, (1, 1, 1, k_t))  # [.., kN]
+    if has_cls_embed:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
+    return bias
+
+
+def rel_pos_temporal_bias(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
+    """Temporal rel-pos bias; same layout rule as the spatial bias."""
+    k_t, k_h, k_w = k_shape
+    bias = rel_q_table_temporal(q, q_shape, k_shape, rel_pos_t, has_cls_embed)
     bias = jnp.repeat(bias, k_h * k_w, axis=-1)  # [.., kN]
-    if sp_idx:
+    if has_cls_embed:
         bias = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
     return bias
 
@@ -148,28 +162,40 @@ class AttentionPool(nn.Module):
         T, Hh, Ww = thw_shape
         if self.has_cls_embed:
             cls_tok, x = x[:, :, :1], x[:, :, 1:]
-        x = x.reshape(B * H, T, Hh, Ww, C)
         padding = [(k // 2, k // 2) for k in self.kernel]
         if self.mode == "conv":
-            x = nn.Conv(
-                features=C,
-                kernel_size=tuple(self.kernel),
-                strides=tuple(self.stride),
+            # TPU layout: fold heads into channels (depthwise channels
+            # H*C >= 128 fills VPU lanes; the reference folds heads into the
+            # *batch*, `attention.py:13-49`). The per-head weights are shared
+            # in the reference, so the folded kernel is the head-dim kernel
+            # tiled H times — numerically identical.
+            x = jnp.moveaxis(x, 1, 3).reshape(B, T, Hh, Ww, H * C)
+            kernel = self.param(
+                "pool_kernel",
+                trunc_normal_init(0.02),
+                tuple(self.kernel) + (1, C),
+            )
+            tiled = jnp.tile(kernel, (1, 1, 1, 1, H)).astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), tiled,
+                window_strides=tuple(self.stride),
                 padding=padding,
-                feature_group_count=C,
-                use_bias=False,
-                dtype=self.dtype,
-                kernel_init=trunc_normal_init(0.02),
-                name="pool",
-            )(x)
-        elif self.mode == "max":
-            x = max_pool_3d(x, self.kernel, self.stride, padding)
-        elif self.mode == "avg":
-            x = avg_pool_3d(x, self.kernel, self.stride, padding)
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                feature_group_count=H * C,
+            )
+            new_thw = (x.shape[1], x.shape[2], x.shape[3])
+            x = x.reshape(B, -1, H, C)
+            x = jnp.moveaxis(x, 2, 1)
         else:
-            raise NotImplementedError(f"Unsupported pool mode {self.mode}")
-        new_thw = (x.shape[1], x.shape[2], x.shape[3])
-        x = x.reshape(B, H, -1, C)
+            x = x.reshape(B * H, T, Hh, Ww, C)
+            if self.mode == "max":
+                x = max_pool_3d(x, self.kernel, self.stride, padding)
+            elif self.mode == "avg":
+                x = avg_pool_3d(x, self.kernel, self.stride, padding)
+            else:
+                raise NotImplementedError(f"Unsupported pool mode {self.mode}")
+            new_thw = (x.shape[1], x.shape[2], x.shape[3])
+            x = x.reshape(B, H, -1, C)
         if self.has_cls_embed:
             x = jnp.concatenate([cls_tok, x], axis=2)
         if self.mode == "conv":
@@ -198,6 +224,7 @@ class MultiScaleAttention(nn.Module):
     residual_pooling: bool = False
     separate_qkv: bool = False
     hw_switch: bool = False  # static: portrait specialization swaps H/W tables
+    use_pallas: bool = False  # fused attention kernel on TPU backends
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -251,8 +278,8 @@ class MultiScaleAttention(nn.Module):
             k = refold(k, k_shape, "k")
             v = refold(v, v_shape, "v")
 
-        attn = (q * scale) @ k.transpose(0, 1, 3, 2)
-
+        # --- rel-pos parameters (shapes fixed by construction-time geometry)
+        rp_h = rp_w = rel_pos_t = None
         if self.rel_pos_spatial:
             rel_sp_dim_h = 2 * max(
                 self.input_size[1] // (self.stride_q[1] if self.stride_q else 1),
@@ -275,9 +302,6 @@ class MultiScaleAttention(nn.Module):
                 rp_h, rp_w = rel_pos_w, rel_pos_h
             else:
                 rp_h, rp_w = rel_pos_h, rel_pos_w
-            attn = attn + rel_pos_spatial_bias(
-                q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
-            )
         if self.rel_pos_temporal:
             init = (
                 nn.initializers.zeros
@@ -287,12 +311,59 @@ class MultiScaleAttention(nn.Module):
             rel_pos_t = self.param(
                 "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim)
             )
-            attn = attn + rel_pos_temporal_bias(
-                q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
-            )
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        x = attn @ v
+        fused = (
+            self.use_pallas
+            and self.rel_pos_spatial
+            and jax.default_backend() == "tpu"
+        )
+        if fused:
+            # Pallas fused attention: bias expanded in VMEM, the [Nq, Nk]
+            # attention matrix never touches HBM (pmv_tpu/ops).
+            from pmv_tpu.ops.attention_pallas import fused_rel_attention
+
+            B_, H_, Nq_, D_ = q.shape
+            Nk_ = k.shape[2]
+            k_t, k_h, k_w = k_shape
+            rh, rw = rel_q_tables_spatial(
+                q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
+            )
+            rt = (
+                rel_q_table_temporal(
+                    q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
+                )
+                if self.rel_pos_temporal
+                else None
+            )
+            if self.has_cls_embed:
+                # cls row carries zero bias.
+                pad_row = ((0, 0), (0, 0), (1, 0), (0, 0))
+                rh = jnp.pad(rh, pad_row)
+                rw = jnp.pad(rw, pad_row)
+                rt = jnp.pad(rt, pad_row) if rt is not None else None
+            # s = (q*scale) @ k^T + bias, where the bias tables come from
+            # the *unscaled* q (reference semantics, `attention.py:413`).
+            x = fused_rel_attention(
+                (q * scale).reshape(B_ * H_, Nq_, D_),
+                k.reshape(B_ * H_, Nk_, D_),
+                v.reshape(B_ * H_, Nk_, D_),
+                rh.reshape(B_ * H_, Nq_, -1),
+                rw.reshape(B_ * H_, Nq_, -1),
+                rt.reshape(B_ * H_, Nq_, -1) if rt is not None else None,
+                1.0, k_t, k_h, k_w, self.has_cls_embed,
+            ).reshape(B_, H_, Nq_, D_)
+        else:
+            attn = (q * scale) @ k.transpose(0, 1, 3, 2)
+            if self.rel_pos_spatial:
+                attn = attn + rel_pos_spatial_bias(
+                    q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
+                )
+            if self.rel_pos_temporal:
+                attn = attn + rel_pos_temporal_bias(
+                    q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
+                )
+            attn = jax.nn.softmax(attn, axis=-1)
+            x = attn @ v
 
         if self.residual_pooling:
             # `attention.py:450-454`: add pooled q (skipping cls row when on).
@@ -337,6 +408,7 @@ class MultiScaleBlock(nn.Module):
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
     hw_switch: bool = False
+    use_pallas: bool = False
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -363,6 +435,7 @@ class MultiScaleBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
             hw_switch=self.hw_switch,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

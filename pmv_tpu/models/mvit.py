@@ -294,6 +294,7 @@ class MViT(nn.Module):
                 dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                 separate_qkv=cfg.MVIT.SEPARATE_QKV,
                 hw_switch=self.hw_switch,
+                use_pallas=cfg.MVIT.USE_PALLAS_ATTENTION,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

@@ -27,6 +27,7 @@ logger = pmv_logging.get_logger(__name__)
 
 _LEAF_MAP = {
     "kernel": "weight",
+    "pool_kernel": "weight",  # AttentionPool's folded depthwise kernel
     "scale": "weight",
     "bias": "bias",
     "mean": "running_mean",
@@ -43,15 +44,15 @@ def _flax_path_to_torch(path_names):
     i = 0
     while i < len(mods):
         m = mods[i]
-        # MViT attention pools: attn/pool_q/pool -> attn.pool_q;
+        # MViT attention pools: attn/pool_q(.pool_kernel) -> attn.pool_q;
         # attn/pool_q/norm -> attn.norm_q.
-        if m in ("pool_q", "pool_k", "pool_v") and i + 1 < len(mods):
-            nxt = mods[i + 1]
-            if nxt == "pool":
-                out.append(m)
-            elif nxt == "norm":
+        if m in ("pool_q", "pool_k", "pool_v"):
+            if i + 1 < len(mods) and mods[i + 1] == "norm":
                 out.append("norm_" + m.split("_")[1])
-            i += 2
+                i += 2
+                continue
+            out.append(m)
+            i += 1
             continue
         # flax BatchNorm running stats live under .../bn/batch_stats paths
         # with same module name — nothing to rewrite.
@@ -67,7 +68,7 @@ def _convert_tensor(torch_arr, flax_shape, name, leaf="kernel"):
     so square weight matrices are never silently passed through.
     """
     arr = np.asarray(torch_arr)
-    if leaf == "kernel":
+    if leaf in ("kernel", "pool_kernel"):
         if arr.ndim == 2 and len(flax_shape) == 2:
             t = arr.T
             if t.shape == tuple(flax_shape):

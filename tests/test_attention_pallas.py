@@ -1,0 +1,109 @@
+"""Fused Pallas attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmv_tpu.ops.attention_pallas import (
+    _reference_attention,
+    fused_rel_attention,
+)
+
+
+def _make_inputs(bh=2, kt=2, kh=3, kw=4, d=16, q_n=60, has_cls=True, key=0):
+    nk = kt * kh * kw + (1 if has_cls else 0)
+    nq = q_n + (1 if has_cls else 0)
+    ks = jax.random.split(jax.random.PRNGKey(key), 6)
+    q = jax.random.normal(ks[0], (bh, nq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (bh, nk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (bh, nk, d), jnp.float32)
+    rh = jax.random.normal(ks[3], (bh, nq, kh), jnp.float32) * 0.1
+    rw = jax.random.normal(ks[4], (bh, nq, kw), jnp.float32) * 0.1
+    rt = jax.random.normal(ks[5], (bh, nq, kt), jnp.float32) * 0.1
+    if has_cls:
+        # cls rows carry zero bias by contract.
+        rh = rh.at[:, 0].set(0)
+        rw = rw.at[:, 0].set(0)
+        rt = rt.at[:, 0].set(0)
+    return q, k, v, rh, rw, rt
+
+
+@pytest.mark.parametrize("has_cls", [True, False])
+@pytest.mark.parametrize("with_rt", [True, False])
+def test_fused_matches_reference(has_cls, with_rt):
+    kt, kh, kw = 2, 3, 4
+    q, k, v, rh, rw, rt = _make_inputs(has_cls=has_cls)
+    rt_in = rt if with_rt else None
+    out = fused_rel_attention(q, k, v, rh, rw, rt_in, 0.25, kt, kh, kw, has_cls)
+    ref = _reference_attention(
+        q * 0.25, k, v, rh, rw, rt_in, 1.0, kt, kh, kw, has_cls
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_gradients_match_reference():
+    kt, kh, kw = 2, 3, 4
+    q, k, v, rh, rw, rt = _make_inputs()
+
+    def loss_fused(q, k, v, rh, rw, rt):
+        o = fused_rel_attention(q, k, v, rh, rw, rt, 0.25, kt, kh, kw, True)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v, rh, rw, rt):
+        o = _reference_attention(q * 0.25, k, v, rh, rw, rt, 1.0, kt, kh, kw, True)
+        return jnp.sum(o ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rh, rw, rt)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rh, rw, rt)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_in_model_matches_xla_path():
+    """Full MViT tiny: USE_PALLAS on vs off must agree (CPU: interpret)."""
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.models import build_model
+
+    def cfg_with(pallas):
+        cfg = get_cfg()
+        cfg.MODEL.MODEL_NAME = "MViT"
+        cfg.MODEL.ARCH = "mvit"
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.DATA.NUM_FRAMES = 4
+        cfg.DATA.TRAIN_CROP_SIZE = 16
+        cfg.DATA.TEST_CROP_SIZE = 16
+        cfg.MVIT.DEPTH = 2
+        cfg.MVIT.EMBED_DIM = 8
+        cfg.MVIT.USE_ABS_POS = False
+        cfg.MVIT.REL_POS_SPATIAL = True
+        cfg.MVIT.REL_POS_TEMPORAL = True
+        cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+        cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+        cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
+        cfg.MVIT.DIM_MUL_IN_ATT = True
+        cfg.MVIT.RESIDUAL_POOLING = True
+        cfg.MVIT.USE_PALLAS_ATTENTION = pallas
+        return cfg
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
+    m_xla = build_model(cfg_with(False), dtype=jnp.float32)
+    variables = m_xla.init(jax.random.PRNGKey(0), x, train=False)
+    out_xla = m_xla.apply(variables, x, train=False)
+
+    m_pl = build_model(cfg_with(True), dtype=jnp.float32)
+    # Force the fused path on CPU: model gate via backend monkeypatch, the
+    # kernel itself via the interpret override.
+    import pmv_tpu.ops.attention_pallas as ap
+
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        ap.INTERPRET_OVERRIDE = True
+        out_pl = m_pl.apply(variables, x, train=False)
+    finally:
+        jax.default_backend = orig
+        ap.INTERPRET_OVERRIDE = None
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_xla), atol=2e-4, rtol=1e-4
+    )

@@ -136,7 +136,7 @@ def test_importer_roundtrip_mvit_tiny(tmp_path):
         names = [str(k.key) for k in path]
         tname = torch_import._flax_path_to_torch(names)
         arr = np.asarray(leaf)
-        if names[-1] == "kernel" and arr.ndim == 5:
+        if names[-1] in ("kernel", "pool_kernel") and arr.ndim == 5:
             arr = arr.transpose(4, 3, 0, 1, 2)
         elif names[-1] == "kernel" and arr.ndim == 2:
             arr = arr.T

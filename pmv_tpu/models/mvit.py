@@ -305,6 +305,7 @@ class MViT(nn.Module):
                     for size, stride in zip(input_size, spec["stride_q"])
                 ]
 
+        x = self.perturb("features", x)  # Grad-CAM tap (visualization)
         if return_features:
             return x, thw
 

@@ -323,6 +323,7 @@ class Uniformer(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="norm",
         )(x)
+        x = self.perturb("features", x)  # Grad-CAM tap (visualization)
         if return_features:
             return x
         # flatten(2).mean(-1): global average over T, H, W.

@@ -32,7 +32,7 @@ class X3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=True):
+    def __call__(self, x, train=True, return_features=False):
         cfg = self.cfg
         if isinstance(x, (list, tuple)):
             x = x[0]
@@ -96,6 +96,9 @@ class X3D(nn.Module):
             )(x, train=train)
             dim_in = dim_out
 
+        x = self.perturb("features", x)  # Grad-CAM tap (visualization)
+        if return_features:
+            return x
         x = X3DHead(
             dim_inner=dim_inner,
             dim_out=cfg.X3D.DIM_C5,

@@ -1,0 +1,142 @@
+"""Demo: run action recognition over a video file and write an annotated copy.
+
+Equivalent of the reference demo stack (`MViT/tools/demo_net.py`,
+`slowfast/visualization/{demo_loader,predictor,async_predictor,
+video_visualizer}.py`) on the TPU-native stack:
+
+- the native FFmpeg reader replaces the OpenCV `VideoManager`;
+- a jitted eval step replaces the cuda `Predictor`;
+- decode/predict/annotate overlap through a 3-stage thread pipeline (the
+  reference's `AsyncDemo` used mp.Queue processes — threads suffice here
+  because decode is native and inference is a non-blocking device dispatch);
+- PIL text overlay replaces the cv2 `VideoVisualizer`;
+- output is written with the native AVI writer (webcam in/out needs a
+  display stack, not available headless; file mode is the supported path).
+"""
+
+import os
+import queue
+import threading
+
+import jax
+import numpy as np
+
+from pmv_tpu.data import transform
+from pmv_tpu.engine import steps
+from pmv_tpu.models import build_model
+from pmv_tpu.utils import checkpoint as cu
+from pmv_tpu.utils import logging as pmv_logging
+from pmv_tpu.visualization.tensorboard_vis import get_class_names
+
+logger = pmv_logging.get_logger(__name__)
+
+
+def _annotate(frame, lines):
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(frame)
+    draw = ImageDraw.Draw(img)
+    y = 4
+    for text in lines:
+        draw.rectangle([2, y - 2, 6 + 7 * len(text), y + 12], fill=(0, 0, 0))
+        draw.text((4, y), text, fill=(0, 255, 0))
+        y += 16
+    return np.asarray(img)
+
+
+def demo(cfg):
+    """Annotate DEMO.INPUT_VIDEO with top-k predictions per clip window."""
+    pmv_logging.setup_logging(cfg.OUTPUT_DIR)
+    assert cfg.DEMO.INPUT_VIDEO, "DEMO.INPUT_VIDEO must point at a video file"
+    from pmv_tpu.native import binding
+
+    cfg = cfg.clone()
+    cfg.TEST.PROCESS = True
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+
+    reader = binding.VideoReader(cfg.DEMO.INPUT_VIDEO)
+    size = cfg.DATA.TEST_CROP_SIZE
+    t = cfg.DATA.NUM_FRAMES
+    stride = cfg.DATA.SAMPLING_RATE
+
+    example = {
+        "frames": np.zeros((1, t, size, size, 3), np.uint8),
+        "labels": np.zeros((1,), np.int64),
+    }
+    state, _ = steps.init_state(cfg, model, example, rng)
+    state = cu.load_test_checkpoint(cfg, state)
+    eval_step = jax.jit(steps.make_eval_step(cfg, model))
+
+    class_names = (
+        get_class_names(cfg.DEMO.LABEL_FILE_PATH)
+        if cfg.DEMO.LABEL_FILE_PATH
+        else []
+    )
+
+    clip_len = t * stride
+    n_windows = max(reader.num_frames // clip_len, 1)
+    logger.info(
+        "Demo: %s (%d frames, %.1f fps) -> %d windows",
+        cfg.DEMO.INPUT_VIDEO, reader.num_frames, reader.fps, n_windows,
+    )
+
+    decode_q = queue.Queue(maxsize=2)
+    pred_q = queue.Queue(maxsize=2)
+
+    def decoder_stage():
+        for w in range(n_windows):
+            start = w * clip_len
+            idx = np.linspace(
+                start, min(start + clip_len - 1, reader.num_frames - 1), t
+            ).astype(np.int64)
+            # Clip frames for the model at a short-side-scaled geometry.
+            frames = reader.read_frames(idx)
+            decode_q.put((w, frames))
+        decode_q.put(None)
+
+    def predict_stage():
+        while True:
+            item = decode_q.get()
+            if item is None:
+                pred_q.put(None)
+                return
+            w, frames = item
+            net_in = transform.short_side_scale(
+                frames.astype(np.float32), size
+            )
+            net_in = transform.uniform_crop(net_in, size, 1)
+            preds = eval_step(
+                state, np.clip(net_in, 0, 255).astype(np.uint8)[None]
+            )
+            pred_q.put(
+                (w, frames, np.asarray(preds)[0].astype(np.float32))
+            )
+
+    threading.Thread(target=decoder_stage, daemon=True).start()
+    threading.Thread(target=predict_stage, daemon=True).start()
+
+    out_frames = []
+    while True:
+        item = pred_q.get()
+        if item is None:
+            break
+        w, frames, preds = item
+        topk = np.argsort(preds)[::-1][: cfg.DEMO.CLIP_VIS_SIZE]
+        lines = [
+            f"{class_names[i] if i < len(class_names) else i}: {preds[i]:.3f}"
+            for i in topk[:3]
+        ]
+        for f in frames:
+            out_frames.append(_annotate(f, lines))
+    reader.close()
+
+    out_path = cfg.DEMO.OUTPUT_FILE or os.path.join(
+        cfg.OUTPUT_DIR, "demo_out.avi"
+    )
+    fps = cfg.DEMO.OUTPUT_FPS if cfg.DEMO.OUTPUT_FPS > 0 else int(
+        max(reader.fps, 1)
+    )
+    binding.write_test_video(out_path, np.stack(out_frames), fps=fps)
+    logger.info("Demo output written to %s", out_path)
+    return out_path

@@ -1,0 +1,107 @@
+"""TensorBoard writer, Grad-CAM, and demo end-to-end on tiny models."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmv_tpu.config import get_cfg
+from pmv_tpu.models import build_model
+
+
+def _tiny_x3d_cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "X3D"
+    cfg.MODEL.ARCH = "x3d"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.RESNET.TRANS_FUNC = "x3d_transform"
+    cfg.X3D.DIM_C1 = 4
+    cfg.X3D.DEPTH_FACTOR = 0.2
+    cfg.X3D.DIM_C5 = 16
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TEST_CROP_SIZE = 16
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    return cfg
+
+
+def test_gradcam_x3d():
+    from pmv_tpu.visualization.gradcam import gradcam, overlay_heatmap
+
+    cfg = _tiny_x3d_cfg()
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    maps, preds = gradcam(model, variables, x)
+    assert maps.shape[0] == 2
+    assert preds.shape == (2, 4)
+    assert maps.min() >= 0.0 and maps.max() <= 1.0
+    # Overlay on a fake frame.
+    frame = np.zeros((16, 16, 3), np.uint8)
+    out = overlay_heatmap(frame, maps[0, 0])
+    assert out.shape == (16, 16, 3)
+
+
+def test_gradcam_mvit_tokens():
+    from pmv_tpu.visualization.gradcam import gradcam
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.DATA.TEST_CROP_SIZE = 16
+    cfg.MVIT.DEPTH = 1
+    cfg.MVIT.EMBED_DIM = 8
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.REL_POS_SPATIAL = True
+    cfg.MVIT.POOL_KVQ_KERNEL = [1, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1]]
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    maps, preds = gradcam(model, variables, x)
+    assert maps.shape[0] == 1
+    assert preds.shape == (1, 3)
+
+
+def test_tensorboard_writer(tmp_path):
+    from pmv_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+    cfg = get_cfg()
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE = True
+    cfg.MODEL.NUM_CLASSES = 3
+    writer = TensorboardWriter(cfg)
+    writer.add_scalars({"Train/loss": 1.0}, global_step=0)
+    preds = np.eye(3)[[0, 1, 2, 0]]
+    labels = np.array([0, 1, 2, 1])
+    writer.plot_eval(preds, labels, global_step=0)
+    writer.add_video(np.zeros((1, 2, 8, 8, 3), np.uint8))
+    writer.close()
+    runs = [p for p in os.listdir(tmp_path) if p.startswith("runs-")]
+    assert runs, "no event dir written"
+
+
+def test_demo_end_to_end(tmp_path):
+    from pmv_tpu.native import binding
+    from pmv_tpu.visualization.demo import demo
+
+    rng = np.random.default_rng(0)
+    vid = tmp_path / "in.avi"
+    binding.write_test_video(
+        vid, rng.integers(0, 255, (24, 32, 24, 3), dtype=np.uint8), fps=12
+    )
+    cfg = _tiny_x3d_cfg()
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.INPUT_VIDEO = str(vid)
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "out.avi")
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.OUTPUT_DIR = str(tmp_path)
+    out = demo(cfg)
+    assert os.path.exists(out)
+    with binding.VideoReader(out) as vr:
+        assert vr.num_frames > 0

@@ -1,0 +1,155 @@
+"""Masked video pretraining (`MViT/slowfast/models/masked.py` MaskMViT).
+
+MaskFeat-style functional re-design: a per-sample random token mask replaces
+masked patch embeddings with a learned mask token; the backbone runs the
+full (static-shape) sequence — TPU-friendly, no gather/scatter of variable
+token counts — and a separate prediction head regresses HOG descriptors of
+the masked patches (`masked.py` PRED_HOG path; HOG computed on-device, the
+reference computes it per-sample on CPU workers).
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmv_tpu.models.build import MODEL_REGISTRY
+from pmv_tpu.models.common import trunc_normal_init
+from pmv_tpu.models.mvit import MViT
+
+
+def hog_targets(frames, nbins=9, cell_sz=8):
+    """Per-cell HOG descriptors of video frames, fully on-device.
+
+    frames: [B, T, H, W, C] float (normalized ok). Returns
+    [B, T, H//cell, W//cell, C*nbins] L2-normalized histograms
+    (`masked.py` HOG layer semantics: per-channel HOG, 9 unsigned bins).
+    """
+    gx = frames[:, :, :, 2:] - frames[:, :, :, :-2]
+    gx = jnp.pad(gx, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    gy = frames[:, :, 2:] - frames[:, :, :-2]
+    gy = jnp.pad(gy, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+    mag = jnp.sqrt(gx ** 2 + gy ** 2 + 1e-12)
+    ang = jnp.arctan2(gy, gx) % np.pi  # unsigned orientation [0, pi)
+    bin_idx = jnp.floor(ang / (np.pi / nbins)).astype(jnp.int32) % nbins
+
+    b, t, h, w, c = frames.shape
+    hc, wc = h // cell_sz, w // cell_sz
+    # One-hot bin weighting, then cell-sum pooling.
+    onehot = jax.nn.one_hot(bin_idx, nbins, dtype=frames.dtype)
+    weighted = onehot * mag[..., None]  # [B,T,H,W,C,nbins]
+    weighted = weighted[:, :, : hc * cell_sz, : wc * cell_sz]
+    weighted = weighted.reshape(b, t, hc, cell_sz, wc, cell_sz, c, nbins)
+    hist = weighted.sum(axis=(3, 5))  # [B,T,hc,wc,C,nbins]
+    hist = hist.reshape(b, t, hc, wc, c * nbins)
+    return hist / (jnp.linalg.norm(hist, axis=-1, keepdims=True) + 1e-6)
+
+
+class MSSeparateHead(nn.Module):
+    """Per-target prediction head (`head_helper.py:580-690`)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(
+            self.out_dim, dtype=self.dtype,
+            kernel_init=trunc_normal_init(0.02), name="projection",
+        )(x)
+
+
+class MaskMViT(nn.Module):
+    """MViT backbone + mask-token substitution + HOG prediction head."""
+
+    cfg: Any
+    hw_switch: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, train=True):
+        """x: [B, T, H, W, C] frames; mask: [B, N_tokens] bool (True=masked).
+
+        Returns (pred_hog [B, N, D_hog], target_hog, mask).
+        """
+        cfg = self.cfg
+        patch_t, patch_h, patch_w = cfg.MVIT.PATCH_STRIDE
+        b = x.shape[0]
+        t_tok = cfg.DATA.NUM_FRAMES // patch_t
+        h_tok = x.shape[2] // patch_h
+        w_tok = x.shape[3] // patch_w
+        n_tok = t_tok * h_tok * w_tok
+
+        if mask is None:
+            key = self.make_rng("mask")
+            ratio = cfg.AUG.MASK_RATIO or 0.4
+            scores = jax.random.uniform(key, (b, n_tok))
+            k = int(n_tok * ratio)
+            thresh = jnp.sort(scores, axis=1)[:, k : k + 1]
+            mask = scores < thresh
+
+        # HOG targets on the patch grid: cell size = spatial patch stride,
+        # averaged over the frames inside each temporal patch.
+        hog = hog_targets(
+            x.astype(jnp.float32), nbins=cfg.MASK.HOG_NBINS,
+            cell_sz=patch_h,
+        )
+        bt = hog.shape[1]
+        hog = hog.reshape(
+            b, t_tok, bt // t_tok, h_tok, w_tok, hog.shape[-1]
+        ).mean(axis=2)
+        target = hog.reshape(b, n_tok, -1)
+
+        # Backbone with mask-token substitution right after patch embed: we
+        # mask the *input pixels* of masked patches instead of patch tokens
+        # (equivalent up to the conv stem overlap; keeps the backbone
+        # untouched) and add a learned bias so masked regions aren't zeros.
+        mask_token = self.param(
+            "mask_token", trunc_normal_init(0.02), (1, 1, x.shape[-1])
+        )
+        grid_mask = mask.reshape(b, t_tok, h_tok, w_tok)
+        pixel_mask = jnp.repeat(grid_mask, patch_t, axis=1)
+        pixel_mask = jnp.repeat(pixel_mask, patch_h, axis=2)
+        pixel_mask = jnp.repeat(pixel_mask, patch_w, axis=3)
+        pixel_mask = pixel_mask[:, : x.shape[1], : x.shape[2], : x.shape[3]]
+        x_masked = jnp.where(
+            pixel_mask[..., None],
+            mask_token[0, 0].astype(x.dtype),
+            x,
+        )
+
+        feats, thw = MViT(cfg=cfg, hw_switch=self.hw_switch, dtype=self.dtype,
+                          name="backbone")(
+            x_masked, train=train, return_features=True
+        )
+        if cfg.MVIT.CLS_EMBED_ON:
+            feats = feats[:, 1:]
+        # Project token features back onto the full patch grid (the backbone
+        # may have pooled Q; upsample token grid to n_tok).
+        tq, hq, wq = thw
+        if (tq, hq, wq) != (t_tok, h_tok, w_tok):
+            grid = feats.reshape(b, tq, hq, wq, -1)
+            grid = jax.image.resize(
+                grid, (b, t_tok, h_tok, w_tok, grid.shape[-1]),
+                method="nearest",
+            )
+            feats = grid.reshape(b, n_tok, -1)
+        pred = MSSeparateHead(
+            out_dim=target.shape[-1], dtype=self.dtype, name="pred_head"
+        )(feats)
+        return pred, target, mask
+
+
+def masked_loss(pred, target, mask):
+    """MSE on masked tokens only (`masked.py` loss)."""
+    err = ((pred.astype(jnp.float32) - target) ** 2).mean(axis=-1)
+    denom = jnp.maximum(mask.sum(), 1)
+    return (err * mask).sum() / denom
+
+
+@MODEL_REGISTRY.register(name="MaskMViT")
+def build_mask_mvit(cfg, hw_switch=False, dtype=jnp.float32):
+    return MaskMViT(cfg=cfg, hw_switch=hw_switch, dtype=dtype)

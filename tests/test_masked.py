@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmv_tpu.config import get_cfg
+from pmv_tpu.models.masked import MaskMViT, hog_targets, masked_loss
+from pmv_tpu.config.cfg_node import freeze_cfg
+
+
+def _cfg():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "MaskMViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 0
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.MVIT.DEPTH = 1
+    cfg.MVIT.EMBED_DIM = 8
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.REL_POS_SPATIAL = True
+    cfg.MVIT.POOL_KVQ_KERNEL = [1, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1]]
+    cfg.AUG.MASK_RATIO = 0.5
+    return cfg
+
+
+def test_hog_targets_shapes_and_norm():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3))
+    hog = hog_targets(x, nbins=9, cell_sz=8)
+    assert hog.shape == (2, 4, 4, 4, 27)
+    norms = jnp.linalg.norm(hog, axis=-1)
+    assert float(norms.max()) <= 1.0 + 1e-4
+
+
+def test_hog_orientation_selectivity():
+    """A pure vertical gradient puts mass in one orientation bin."""
+    ramp = jnp.tile(
+        jnp.arange(32, dtype=jnp.float32)[None, None, :, None, None],
+        (1, 1, 1, 32, 1),
+    )
+    x = jnp.tile(ramp, (1, 1, 1, 1, 3))
+    hog = hog_targets(x, nbins=9, cell_sz=8)
+    per_bin = hog.reshape(-1, 3, 9).sum(axis=(0, 1))
+    assert int(jnp.argmax(per_bin)) in (4, 5)  # ~pi/2 orientation
+
+
+def test_maskmvit_forward_and_loss():
+    cfg = _cfg()
+    model = MaskMViT(cfg=freeze_cfg(cfg), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        x, train=False,
+    )
+    pred, target, mask = model.apply(
+        variables, x, train=False, rngs={"mask": jax.random.PRNGKey(2)}
+    )
+    n_tok = 2 * 8 * 8
+    assert pred.shape == (2, n_tok, 27)
+    assert target.shape == (2, n_tok, 27)
+    assert mask.shape == (2, n_tok)
+    # ~50% masked.
+    frac = float(mask.mean())
+    assert 0.3 < frac < 0.7
+    loss = masked_loss(pred, target, mask)
+    assert float(loss) > 0
+
+
+def test_maskmvit_trains():
+    import optax
+
+    cfg = _cfg()
+    model = MaskMViT(cfg=freeze_cfg(cfg), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        x, train=False,
+    )
+    params = variables["params"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            pred, target, mask = model.apply(
+                {"params": p}, x, train=True,
+                rngs={"mask": key, "dropout": key},
+            )
+            return masked_loss(pred, target, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    losses = []
+    for i in range(4):
+        params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(5))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

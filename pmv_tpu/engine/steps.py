@@ -82,8 +82,14 @@ def pack_pathways(cfg, x):
     raise NotImplementedError(f"arch {cfg.MODEL.ARCH}")
 
 
-def make_train_step(cfg, model, tx):
-    """Returns train_step(state, batch, rng, lr) -> (state, metrics)."""
+def make_train_step(cfg, model, tx, model_pm=None):
+    """Returns train_step(state, batch, rng, lr) -> (state, metrics).
+
+    model_pm: optional portrait specialization (shared params). When given,
+    the step runs both orientations and selects per-sample by batch["pm"]
+    (the reference's shape-polymorphic batch split,
+    `video_model_builder.py:2075-2096`, as two static programs).
+    """
     loss_fun = get_loss_func(cfg.MODEL.LOSS_FUNC)
     preprocess = make_preprocess_fn(cfg, train=True)
     mixup_fn = (
@@ -119,21 +125,30 @@ def make_train_step(cfg, model, tx):
         if len(inputs) == 1:
             inputs = inputs[0]
 
+        def apply_model(m, variables, m_inputs):
+            if state.batch_stats:
+                preds, updates = m.apply(
+                    variables, m_inputs, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": k_drop},
+                )
+                return preds, updates.get("batch_stats", state.batch_stats)
+            preds = m.apply(
+                variables, m_inputs, train=True, rngs={"dropout": k_drop},
+            )
+            return preds, state.batch_stats
+
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            if state.batch_stats:
-                preds, updates = model.apply(
-                    variables, inputs, train=True,
-                    mutable=["batch_stats"], rngs={"dropout": k_drop},
-                )
-                new_stats = updates.get("batch_stats", state.batch_stats)
-            else:
-                preds = model.apply(
-                    variables, inputs, train=True, rngs={"dropout": k_drop},
-                )
-                new_stats = state.batch_stats
+            preds, new_stats = apply_model(model, variables, inputs)
+            if model_pm is not None:
+                x_t = jnp.swapaxes(x, 2, 3)
+                inputs_t = pack_pathways(cfg, x_t)
+                it = inputs_t[0] if len(inputs_t) == 1 else inputs_t
+                preds_pm, _ = apply_model(model_pm, variables, it)
+                pm = batch["pm"]
+                preds = jnp.where(pm[:, None], preds_pm, preds)
             loss = loss_fun(preds.astype(jnp.float32), targets)
             return loss, (preds, new_stats)
 
@@ -186,6 +201,29 @@ def make_eval_step(cfg, model):
         return model.apply(variables, inputs, train=False)
 
     return eval_step
+
+
+def make_feat_step(cfg, model):
+    """Feature-extraction step (Uniformer fork TEST.FEAT_EXTRACT): pooled
+    backbone features instead of logits."""
+    mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+
+    def feat_step(state: TrainState, frames):
+        x = (frames.astype(jnp.float32) - mean) / std
+        inputs = pack_pathways(cfg, x)
+        xs = inputs[0] if len(inputs) == 1 else inputs
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        feats = model.apply(variables, xs, train=False, return_features=True)
+        if isinstance(feats, tuple):
+            feats = feats[0]
+        if feats.ndim == 3:  # tokens [B, N, C]
+            return feats.mean(axis=1)
+        return feats.mean(axis=(1, 2, 3))  # grid [B, T, H, W, C]
+
+    return feat_step
 
 
 def init_state(cfg, model, example_batch, rng, tx=None):

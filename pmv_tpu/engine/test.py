@@ -60,6 +60,26 @@ def perform_test(test_loader, eval_step, eval_step_pm, state, test_meter, cfg, m
     return test_meter, stats
 
 
+def extract_features(cfg, state, model, mesh):
+    """TEST.FEAT_EXTRACT: dump pooled backbone features to OUTPUT_DIR."""
+    test_loader = loader_mod.construct_loader(cfg, "test")
+    feat_step = jax.jit(steps.make_feat_step(cfg, model))
+    feats, indices = [], []
+    for batch in test_loader:
+        frames = jax.device_put(batch["frames"], mesh_lib.batch_sharding(mesh))
+        feats.append(np.asarray(jax.device_get(feat_step(state, frames))))
+        indices.append(batch["index"])
+    out = {
+        "features": np.concatenate(feats),
+        "index": np.concatenate(indices),
+    }
+    path = os.path.join(cfg.OUTPUT_DIR, "features.npz")
+    if jax.process_index() == 0:
+        np.savez(path, **out)
+        logger.info("Features saved to %s", path)
+    return out
+
+
 def test_one(cfg, state, model, model_port, mesh, rel_ratio=None):
     test_loader = loader_mod.construct_loader(cfg, "test")
     logger.info("Testing model for %d iterations", len(test_loader))
@@ -132,6 +152,9 @@ def test(cfg):
         misc.log_model_info(state, cfg)
     state = cu.load_test_checkpoint(cfg, state)
     state = mesh_lib.replicate(state, mesh)
+
+    if cfg.TEST.FEAT_EXTRACT:
+        return extract_features(cfg, state, model, mesh)
 
     if cfg.TEST.DENSE_SPATIAL_CROP:
         # Ratio-grid sweep (`test_net.py:358-379`).

@@ -140,6 +140,19 @@ def train(cfg):
     logger.info("Train with config:")
     logger.info(pprint.pformat(cfg))
 
+    # Multigrid schedules (`train_net.py:566-572`). Base shapes change per
+    # epoch; jit re-specializes per shape so no trainer rebuild is needed.
+    multigrid = None
+    if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
+        from pmv_tpu.utils.multigrid import MultigridSchedule
+
+        multigrid = MultigridSchedule()
+        cfg = multigrid.init_multigrid(cfg)
+        if cfg.MULTIGRID.LONG_CYCLE:
+            # BN-type swaps on batch-size changes are not yet supported (the
+            # param tree must stay fixed); plain/sync BN works across sizes.
+            logger.info("Multigrid long cycle active; BN type stays fixed.")
+
     mesh = mesh_lib.create_mesh(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
@@ -181,8 +194,21 @@ def train(cfg):
     val_meter = meters_mod.ValMeter(len(val_loader), cfg)
     epoch_timer = meters_mod.EpochTimer()
 
+    writer = None
+    if cfg.TENSORBOARD.ENABLE and jax.process_index() == 0:
+        from pmv_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+        writer = TensorboardWriter(cfg)
+
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
+            cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
+            if changed:
+                # New base shape: rebuild loaders; the jitted steps
+                # re-specialize on the new input shapes automatically.
+                train_loader = loader_mod.construct_loader(cfg, "train")
+                train_meter = meters_mod.TrainMeter(len(train_loader), cfg)
         train_loader.set_epoch(cur_epoch)
         epoch_timer.epoch_tic()
         state = train_epoch(
@@ -211,10 +237,21 @@ def train(cfg):
         if is_checkp and jax.process_index() == 0:
             cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
         if is_eval:
-            eval_epoch(
+            stats = eval_epoch(
                 val_loader, eval_step, eval_step_pm, state, val_meter,
                 cur_epoch, cfg, mesh,
             )
+            if writer is not None:
+                writer.add_scalars(
+                    {
+                        "Val/Top1_err": stats["top1_err"],
+                        "Val/Top5_err": stats["top5_err"],
+                    },
+                    global_step=cur_epoch,
+                )
+
+    if writer is not None:
+        writer.close()
 
     result_string = (
         f"_p{misc.params_count(state.params) / 1e6:.2f}M "

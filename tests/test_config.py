@@ -65,7 +65,7 @@ def test_parser_surface():
             "--num_shards", "2",
             "--shard_id", "1",
             "--init_method", "tcp://host:28999",
-            "DATA.PM_SUBSET", "_pmv400",
+            "--opts", "DATA.PM_SUBSET", "_pmv400",
         ]
     )
     assert args.num_shards == 2

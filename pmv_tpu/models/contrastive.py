@@ -191,6 +191,17 @@ def queue_update(queue, ptr, keys):
     return queue, (ptr + b) % k
 
 
+def knn_predict(bank, bank_labels, feats, num_classes, k=200, temperature=0.07):
+    """kNN classification from the memory bank (`contrastive.py` KNN eval):
+    cosine-similarity top-k vote with temperature-weighted contributions."""
+    sim = feats @ bank.T  # [B, N] (both sides L2-normalized)
+    topv, topi = jax.lax.top_k(sim, k)
+    weights = jnp.exp(topv / temperature)  # [B, k]
+    votes = jax.nn.one_hot(bank_labels[topi], num_classes)  # [B, k, C]
+    scores = jnp.sum(weights[..., None] * votes, axis=1)
+    return scores
+
+
 def bank_update(bank, indices, feats, momentum=0.5):
     old = bank[indices]
     new = old * momentum + feats * (1 - momentum)

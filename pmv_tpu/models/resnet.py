@@ -2,8 +2,9 @@
 (`MViT/slowfast/models/video_model_builder.py:401-459,1089-1577`), TPU-first.
 
 Channels-last [B, T, H, W, C]. SlowFast takes a 2-list [slow, fast] produced
-by `pack_pathway_output`. NONLOCAL blocks default to none in every PMV recipe
-and are not yet implemented (tracked for a later round).
+by `pack_pathway_output`. NONLOCAL blocks insert per cfg.NONLOCAL.LOCATION
+(single-pathway nets; SlowFast pathways keep the default of none, matching
+the released recipes).
 """
 
 import math
@@ -104,6 +105,9 @@ class ResNetModel(nn.Module):
                 stride_1x1=cfg.RESNET.STRIDE_1X1,
                 dilation=cfg.RESNET.SPATIAL_DILATIONS[si][0],
                 norm=norm,
+                nonlocal_inds=tuple(cfg.NONLOCAL.LOCATION[si][0]),
+                nonlocal_pool=tuple(cfg.NONLOCAL.POOL[si][0]),
+                nonlocal_instantiation=cfg.NONLOCAL.INSTANTIATION,
                 dtype=self.dtype,
                 name=f"s{si + 2}.pathway0",
             )(x, train=train)

@@ -220,6 +220,9 @@ class ResStage(nn.Module):
     dilation: int = 1
     norm: Any = None
     drop_connect_rate: float = 0.0
+    nonlocal_inds: Sequence[int] = ()
+    nonlocal_pool: Sequence[int] = (1, 2, 2)
+    nonlocal_instantiation: str = "dot_product"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -248,4 +251,14 @@ class ResStage(nn.Module):
                 dtype=self.dtype,
                 name=f"res{i}",
             )(x, train=train)
+            if i in tuple(self.nonlocal_inds):
+                from pmv_tpu.models.nonlocal_block import Nonlocal
+
+                x = Nonlocal(
+                    dim_inner=self.dim_out // 2,
+                    pool_size=tuple(self.nonlocal_pool),
+                    instantiation=self.nonlocal_instantiation,
+                    dtype=self.dtype,
+                    name=f"nonlocal{i}",
+                )(x, train=train)
         return x

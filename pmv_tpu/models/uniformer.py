@@ -274,8 +274,11 @@ class Uniformer(nn.Module):
 
         sa_cls = SplitSABlock if split else SABlock
 
+        # FRAME_BASE (`uniformer_frame.py` Uniformerframe): per-frame 2D
+        # patch embeds (1xnxn stride) instead of the 3x4x4/s(2,4,4) stem.
         x = UniPatchEmbed(
-            dim_out=embed_dim[0], patch_size=4, special=True,
+            dim_out=embed_dim[0], patch_size=4,
+            special=not cfg.UNIFORMER.FRAME_BASE,
             dtype=self.dtype, name="patch_embed1",
         )(x)
         if drop_rate > 0:
@@ -337,4 +340,13 @@ class Uniformer(nn.Module):
 
 @MODEL_REGISTRY.register(name="Uniformer")
 def build_uniformer(cfg, hw_switch=False, dtype=jnp.float32):
+    return Uniformer(cfg=cfg, hw_switch=hw_switch, dtype=dtype)
+
+
+@MODEL_REGISTRY.register(name="Uniformerframe")
+def build_uniformer_frame(cfg, hw_switch=False, dtype=jnp.float32):
+    """Frame-based (2D-temporal) variant (`uniformer_frame.py`); rect-aware
+    inputs work directly — the grid derives from the runtime input shape
+    (covers `uniformer_mods.py` too)."""
+    assert cfg.UNIFORMER.FRAME_BASE, "Uniformerframe requires UNIFORMER.FRAME_BASE"
     return Uniformer(cfg=cfg, hw_switch=hw_switch, dtype=dtype)

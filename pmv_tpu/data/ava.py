@@ -1,0 +1,201 @@
+"""AVA action-detection dataset (`MViT/slowfast/datasets/ava_dataset.py` +
+`ava_helper.py`).
+
+Frame-based: per-video JPEG frame lists + keyframe box annotations. Each
+sample is a clip centered on an annotated keyframe with its (padded,
+fixed-count) person boxes and multi-hot action labels — static shapes for
+the jitted detection step.
+
+Annotation CSV rows (AVA v2.2): `video_id,sec,x1,y1,x2,y2,action_id,person`
+with normalized [0, 1] box coordinates; frame lists use the shared
+`original_vido_id video_id frame_id path labels` format.
+"""
+
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from pmv_tpu.data import spatial, transform
+from pmv_tpu.data.build import DATASET_REGISTRY
+from pmv_tpu.data.frame_datasets import _load_jpeg_frames, load_image_lists
+from pmv_tpu.utils import logging as pmv_logging
+
+logger = pmv_logging.get_logger(__name__)
+
+_AVA_FPS = 30
+_AVA_VALID_SECS = (902, 1798)
+MAX_BOXES = 16
+
+
+def get_sequence(center_idx, half_len, sample_rate, num_frames):
+    """Clip frame indices around a keyframe (`datasets/utils.py` get_sequence)."""
+    seq = list(
+        range(center_idx - half_len, center_idx + half_len, sample_rate)
+    )
+    return [min(max(i, 0), num_frames - 1) for i in seq]
+
+
+def load_boxes_and_labels(cfg, mode):
+    """keyframe annotations: video -> sec -> [(box, [labels])]."""
+    ann_dir = cfg.AVA.ANNOTATION_DIR
+    files = (
+        cfg.AVA.TRAIN_GT_BOX_LISTS + list(cfg.AVA.TRAIN_PREDICT_BOX_LISTS)
+        if mode == "train"
+        else cfg.AVA.TEST_PREDICT_BOX_LISTS
+    )
+    detect_thresh = cfg.AVA.DETECTION_SCORE_THRESH
+    all_boxes = {}
+    for filename in files:
+        is_gt = filename in cfg.AVA.TRAIN_GT_BOX_LISTS
+        with open(os.path.join(ann_dir, filename)) as f:
+            for line in f:
+                row = line.strip().split(",")
+                if len(row) < 7:
+                    continue
+                if not is_gt and len(row) == 8:
+                    try:
+                        score = float(row[7])
+                        if score < detect_thresh:
+                            continue
+                    except ValueError:
+                        pass
+                video, sec = row[0], int(float(row[1]))
+                box = list(map(float, row[2:6]))
+                label = -1 if row[6] == "" else int(row[6])
+                key = tuple(box)
+                all_boxes.setdefault(video, {}).setdefault(sec, {})
+                if key not in all_boxes[video][sec]:
+                    all_boxes[video][sec][key] = [box, []]
+                if label != -1:
+                    all_boxes[video][sec][key][1].append(label)
+    out = {}
+    for video, secs in all_boxes.items():
+        out[video] = {
+            sec: list(d.values()) for sec, d in secs.items()
+        }
+    return out
+
+
+@DATASET_REGISTRY.register(name="Ava")
+class Ava:
+    def __init__(self, cfg, mode):
+        assert mode in ["train", "val", "test"]
+        self.cfg = cfg
+        self.mode = "train" if mode == "train" else "test"
+        self._sample_rate = cfg.DATA.SAMPLING_RATE
+        self._seq_len = cfg.DATA.NUM_FRAMES * self._sample_rate
+        self._load()
+
+    def _load(self):
+        cfg = self.cfg
+        lists = (
+            cfg.AVA.TRAIN_LISTS if self.mode == "train" else cfg.AVA.TEST_LISTS
+        )
+        paths, _, keys = [], [], []
+        for fl in lists:
+            p, l, k = load_image_lists(
+                os.path.join(cfg.AVA.FRAME_LIST_DIR, fl), cfg.AVA.FRAME_DIR
+            )
+            paths += p
+            keys += k
+        self._image_paths = paths
+        self._video_names = keys
+        name_to_idx = {n: i for i, n in enumerate(keys)}
+
+        boxes_and_labels = load_boxes_and_labels(cfg, self.mode)
+        self._keyframe_indices = []  # (video_idx, sec, center_frame_idx)
+        self._keyframe_boxes = []
+        for video, secs in boxes_and_labels.items():
+            if video not in name_to_idx:
+                continue
+            vi = name_to_idx[video]
+            for sec, box_list in sorted(secs.items()):
+                if not box_list:
+                    continue
+                center = (sec - _AVA_VALID_SECS[0]) * _AVA_FPS
+                center = min(max(center, 0), len(self._image_paths[vi]) - 1)
+                self._keyframe_indices.append((vi, sec, center))
+                self._keyframe_boxes.append(box_list)
+        logger.info(
+            "Constructed AVA %s: %d keyframes over %d videos",
+            self.mode, len(self._keyframe_indices), len(keys),
+        )
+
+    def __len__(self):
+        return len(self._keyframe_indices)
+
+    @property
+    def num_videos(self):
+        return len(self)
+
+    def __getitem__(self, idx):
+        cfg = self.cfg
+        rng = np.random.default_rng()
+        video_idx, sec, center_idx = self._keyframe_indices[idx]
+        seq = get_sequence(
+            center_idx, self._seq_len // 2, self._sample_rate,
+            len(self._image_paths[video_idx]),
+        )
+        frames = _load_jpeg_frames(
+            [self._image_paths[video_idx][i] for i in seq]
+        )
+
+        box_list = self._keyframe_boxes[idx]
+        boxes = np.array([b[0] for b in box_list], np.float32)[:, :4]
+        labels = [b[1] for b in box_list]
+
+        crop = cfg.DATA.TRAIN_CROP_SIZE if self.mode == "train" else cfg.DATA.TEST_CROP_SIZE
+        if self.mode == "train":
+            scale = int(
+                rng.uniform(
+                    cfg.DATA.TRAIN_JITTER_SCALES[0],
+                    cfg.DATA.TRAIN_JITTER_SCALES[1],
+                )
+            )
+            frames = transform.short_side_scale(frames, scale)
+            h, w = frames.shape[1:3]
+            y0 = int(rng.integers(0, max(h - crop, 0) + 1))
+            x0 = int(rng.integers(0, max(w - crop, 0) + 1))
+            frames = frames[:, y0 : y0 + crop, x0 : x0 + crop]
+            # boxes are normalized: to pixel coords of the crop.
+            px = boxes * np.array([w, h, w, h], np.float32)
+            px -= np.array([x0, y0, x0, y0], np.float32)
+            if rng.uniform() < 0.5:
+                frames = frames[:, :, ::-1]
+                px[:, [0, 2]] = crop - px[:, [2, 0]]
+        else:
+            frames = transform.short_side_scale(frames, crop)
+            h, w = frames.shape[1:3]
+            y0 = max((h - crop) // 2, 0)
+            x0 = max((w - crop) // 2, 0)
+            frames = frames[:, y0 : y0 + crop, x0 : x0 + crop]
+            px = boxes * np.array([w, h, w, h], np.float32)
+            px -= np.array([x0, y0, x0, y0], np.float32)
+        px = np.clip(px, 0, crop - 1)
+
+        # Pad boxes / labels to MAX_BOXES (static shapes for jit).
+        n = min(len(px), MAX_BOXES)
+        boxes_out = np.zeros((MAX_BOXES, 4), np.float32)
+        boxes_out[:n] = px[:n]
+        mask = np.zeros((MAX_BOXES,), bool)
+        mask[:n] = True
+        label_out = np.zeros((MAX_BOXES, self.cfg.MODEL.NUM_CLASSES), np.float32)
+        for i in range(n):
+            for l in labels[i]:
+                if 0 <= l < self.cfg.MODEL.NUM_CLASSES:
+                    label_out[i, l] = 1.0
+
+        return {
+            "frames": np.ascontiguousarray(
+                np.clip(frames, 0, 255).astype(np.uint8)
+            ),
+            "label": label_out,
+            "boxes": boxes_out,
+            "box_mask": mask,
+            "ori_boxes": boxes,
+            "metadata": np.array([video_idx, sec], np.int64),
+            "index": idx,
+            "time": 0.0,
+            "pm": False,
+        }

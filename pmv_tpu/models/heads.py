@@ -85,6 +85,54 @@ class ResNetBasicHead(nn.Module):
         return x
 
 
+class ResNetRoIHead(nn.Module):
+    """Detection head (`head_helper.py` ResNetRoIHead): temporal average
+    pool -> RoIAlign -> spatial max pool -> concat pathways -> dropout + fc.
+
+    Boxes come padded to a fixed count with a validity mask (static shapes);
+    masked rows produce zero logits.
+    """
+
+    num_classes: int
+    resolution: int = 7
+    spatial_scale_factor: int = 16
+    dropout_rate: float = 0.0
+    act_func: str = "sigmoid"
+    aligned: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, boxes, box_mask, train=True):
+        """inputs: list of [B, T, H, W, C]; boxes: [B, M, 4] pixel coords of
+        the input clip; box_mask: [B, M] validity."""
+        from pmv_tpu.ops.roi_align import roi_align
+
+        b, m = boxes.shape[:2]
+        flat_boxes = boxes.reshape(b * m, 4)
+        batch_idx = jnp.repeat(jnp.arange(b), m)
+        pooled = []
+        for x in inputs:
+            feat = x.mean(axis=1)  # temporal average pool [B, H, W, C]
+            rois = roi_align(
+                feat, flat_boxes, batch_idx,
+                (self.resolution, self.resolution),
+                spatial_scale=1.0 / self.spatial_scale_factor,
+                aligned=self.aligned,
+            )  # [B*M, R, R, C]
+            pooled.append(jnp.max(rois, axis=(1, 2)))  # spatial max pool
+        x = jnp.concatenate(pooled, axis=-1)
+        if self.dropout_rate > 0.0:
+            x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
+        x = nn.Dense(
+            self.num_classes, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01), name="projection",
+        )(x)
+        if not train:
+            x = head_act(x, self.act_func)
+        x = x.reshape(b, m, self.num_classes)
+        return x * box_mask[..., None]
+
+
 class X3DHead(nn.Module):
     """X3D head (`head_helper.py:362-500`): 1x1x1 conv_5 -> pool -> lin_5
     conv expansion -> fc."""

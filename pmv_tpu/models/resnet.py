@@ -63,7 +63,7 @@ class ResNetModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=True):
+    def __call__(self, x, train=True, boxes=None, box_mask=None):
         cfg = self.cfg
         if isinstance(x, (list, tuple)):
             x = x[0]
@@ -114,6 +114,19 @@ class ResNetModel(nn.Module):
             if si == 0 and tuple(pool1) != (1, 1, 1):
                 x = max_pool_3d(x, pool1, pool1, [(0, 0)] * 3)
 
+        if cfg.DETECTION.ENABLE:
+            from pmv_tpu.models.heads import ResNetRoIHead
+
+            return ResNetRoIHead(
+                num_classes=cfg.MODEL.NUM_CLASSES,
+                resolution=cfg.DETECTION.ROI_XFORM_RESOLUTION,
+                spatial_scale_factor=cfg.DETECTION.SPATIAL_SCALE_FACTOR,
+                dropout_rate=cfg.MODEL.DROPOUT_RATE,
+                act_func=cfg.MODEL.HEAD_ACT,
+                aligned=cfg.DETECTION.ALIGNED,
+                dtype=self.dtype,
+                name="head",
+            )([x], boxes, box_mask, train=train)
         x = ResNetBasicHead(
             num_classes=cfg.MODEL.NUM_CLASSES,
             dropout_rate=cfg.MODEL.DROPOUT_RATE,
@@ -157,7 +170,7 @@ class SlowFast(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=True):
+    def __call__(self, x, train=True, boxes=None, box_mask=None):
         cfg = self.cfg
         assert isinstance(x, (list, tuple)) and len(x) == 2, (
             "SlowFast expects [slow, fast] pathway inputs"
@@ -239,6 +252,19 @@ class SlowFast(nn.Module):
                     name=f"s{si + 2}_fuse",
                 )(x_s, x_f, train=train)
 
+        if cfg.DETECTION.ENABLE:
+            from pmv_tpu.models.heads import ResNetRoIHead
+
+            return ResNetRoIHead(
+                num_classes=cfg.MODEL.NUM_CLASSES,
+                resolution=cfg.DETECTION.ROI_XFORM_RESOLUTION,
+                spatial_scale_factor=cfg.DETECTION.SPATIAL_SCALE_FACTOR,
+                dropout_rate=cfg.MODEL.DROPOUT_RATE,
+                act_func=cfg.MODEL.HEAD_ACT,
+                aligned=cfg.DETECTION.ALIGNED,
+                dtype=self.dtype,
+                name="head",
+            )([x_s, x_f], boxes, box_mask, train=train)
         x = ResNetBasicHead(
             num_classes=cfg.MODEL.NUM_CLASSES,
             dropout_rate=cfg.MODEL.DROPOUT_RATE,

@@ -120,14 +120,25 @@ class DataLoader:
 
 
 def _collate(samples):
-    """Stack sample dicts into a batch of numpy arrays."""
+    """Stack sample dicts into a batch of numpy arrays. Extra per-sample
+    keys (detection boxes/masks/metadata) are stacked generically."""
+    labels = [s["label"] for s in samples]
     batch = {
         "frames": np.stack([s["frames"] for s in samples]),
-        "labels": np.asarray([s["label"] for s in samples], np.int64),
+        # Multi-label datasets return float vectors; classification ints.
+        "labels": (
+            np.stack(labels)
+            if isinstance(labels[0], np.ndarray)
+            else np.asarray(labels, np.int64)
+        ),
         "index": np.asarray([s["index"] for s in samples], np.int64),
         "time": np.asarray([s["time"] for s in samples], np.float32),
         "pm": np.asarray([s["pm"] for s in samples], bool),
     }
+    std_keys = {"frames", "label", "index", "time", "pm"}
+    for key in samples[0]:
+        if key not in std_keys:
+            batch[key] = np.stack([np.asarray(s[key]) for s in samples])
     return batch
 
 

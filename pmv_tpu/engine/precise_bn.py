@@ -36,8 +36,18 @@ def calculate_and_update_precise_bn(loader, state, cfg, model, mesh):
         )
         return updates["batch_stats"]
 
-    # Average the *post-batch* stats across batches: reset-free running
-    # average implemented on host over device pytrees.
+    # True average of per-batch statistics (fvcore update_bn_stats
+    # semantics): flax BN updates running = m*old + (1-m)*batch, so the
+    # batch statistic is recovered as (snap - m*old) / (1-m), then averaged
+    # momentum-free across batches.
+    momentum = 0.9
+
+    @jax.jit
+    def recover_batch_stats(snap, old):
+        return jax.tree_util.tree_map(
+            lambda s, o: (s - momentum * o) / (1.0 - momentum), snap, old
+        )
+
     acc = None
     count = 0
     it = iter(loader)
@@ -47,11 +57,10 @@ def calculate_and_update_precise_bn(loader, state, cfg, model, mesh):
         except StopIteration:
             break
         frames = jax.device_put(batch["frames"], mesh_lib.batch_sharding(mesh))
-        # momentum-free: reinitialize from current state each time, then
-        # average the per-batch snapshots.
         snap = stats_step(state.params, state.batch_stats, frames)
-        acc = snap if acc is None else jax.tree_util.tree_map(
-            lambda a, b: a + b, acc, snap
+        batch_stats = recover_batch_stats(snap, state.batch_stats)
+        acc = batch_stats if acc is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, acc, batch_stats
         )
         count += 1
     if acc is None:

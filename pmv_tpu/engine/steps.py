@@ -203,6 +203,64 @@ def make_eval_step(cfg, model):
     return eval_step
 
 
+def make_detection_train_step(cfg, model, tx):
+    """Detection train step (AVA): BCE-with-logits over valid boxes
+    (`train_net.py` detection branch)."""
+    preprocess = make_preprocess_fn(cfg, train=True)
+
+    def train_step(state: TrainState, batch, rng, lr):
+        frames = batch["frames"]
+        boxes, box_mask, labels = batch["boxes"], batch["box_mask"], batch["labels"]
+        k_pre, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        x = preprocess(k_pre, frames)
+        inputs = pack_pathways(cfg, x)
+        xs = inputs[0] if len(inputs) == 1 else inputs
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                preds, updates = model.apply(
+                    variables, xs, train=True, boxes=boxes, box_mask=box_mask,
+                    mutable=["batch_stats"], rngs={"dropout": k_drop},
+                )
+                new_stats = updates.get("batch_stats", state.batch_stats)
+            else:
+                preds = model.apply(
+                    variables, xs, train=True, boxes=boxes, box_mask=box_mask,
+                    rngs={"dropout": k_drop},
+                )
+                new_stats = state.batch_stats
+            per_box = optax.sigmoid_binary_cross_entropy(
+                preds.astype(jnp.float32), labels
+            ).mean(axis=-1)
+            denom = jnp.maximum(box_mask.sum(), 1)
+            loss = (per_box * box_mask).sum() / denom
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grad_norm = optax.global_norm(grads)
+        opt_state = optim.set_lr(state.opt_state, lr)
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_stats, opt_state=new_opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "top1_err": jnp.zeros(()),
+            "top5_err": jnp.zeros(()),
+            "nan": jnp.isnan(loss) | jnp.isinf(loss),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
 def make_feat_step(cfg, model):
     """Feature-extraction step (Uniformer fork TEST.FEAT_EXTRACT): pooled
     backbone features instead of logits."""

@@ -42,13 +42,9 @@ def train_epoch(
     for cur_iter, batch in enumerate(train_loader):
         epoch_exact = cur_epoch + float(cur_iter) / data_size
         lr = get_lr_at_epoch(cfg, epoch_exact)
+        keep = {"frames", "labels", "pm", "boxes", "box_mask", "index"}
         device_batch = mesh_lib.shard_batch(
-            {
-                "frames": batch["frames"],
-                "labels": batch["labels"],
-                "pm": batch["pm"],
-            },
-            mesh,
+            {k: v for k, v in batch.items() if k in keep}, mesh
         )
         meter.data_toc()
         step_fn = train_step_pm if batch["pm"].any() else train_step
@@ -177,12 +173,16 @@ def train(cfg):
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
     state = mesh_lib.replicate(state, mesh)
 
-    train_step = jax.jit(steps.make_train_step(cfg, model, tx))
-    train_step_pm = (
-        jax.jit(steps.make_train_step(cfg, model, tx, model_pm=model_port))
-        if needs_pm
-        else train_step
-    )
+    if cfg.DETECTION.ENABLE:
+        train_step = jax.jit(steps.make_detection_train_step(cfg, model, tx))
+        train_step_pm = train_step
+    else:
+        train_step = jax.jit(steps.make_train_step(cfg, model, tx))
+        train_step_pm = (
+            jax.jit(steps.make_train_step(cfg, model, tx, model_pm=model_port))
+            if needs_pm
+            else train_step
+        )
     eval_step = jax.jit(steps.make_eval_step(cfg, model))
     eval_step_pm = (
         jax.jit(_make_pm_eval_step(cfg, model, model_port))

@@ -28,9 +28,14 @@ def main():
         init_distributed(cfg)
 
         if cfg.TRAIN.ENABLE:
-            from pmv_tpu.engine.train import train
+            if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+                from pmv_tpu.engine.ssl_train import train_ssl
 
-            train(cfg)
+                train_ssl(cfg)
+            else:
+                from pmv_tpu.engine.train import train
+
+                train(cfg)
 
         if cfg.TEST.ENABLE:
             from pmv_tpu.engine.test import test

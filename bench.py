@@ -13,7 +13,10 @@ target (BASELINE.json) is >=2x that per chip.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pmv_tpu_jaxcache")
 
 import jax
 import jax.numpy as jnp

@@ -316,6 +316,9 @@ class MultiScaleAttention(nn.Module):
             self.use_pallas
             and self.rel_pos_spatial
             and jax.default_backend() == "tpu"
+            # The kernel pays off where the attention matrix is large; short
+            # sequences keep the XLA path (fewer kernel compilations).
+            and q.shape[2] >= 4096
         )
         if fused:
             # Pallas fused attention: bias expanded in VMEM, the [Nq, Nk]

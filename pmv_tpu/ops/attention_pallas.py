@@ -1,27 +1,27 @@
-"""Pallas TPU kernel: fused MViT attention with decomposed rel-pos bias.
+"""Pallas TPU kernels: fused MViT attention with decomposed rel-pos bias.
 
 The MViT attention shape regime is "tall Q, short K": after KV pooling,
 Nk <= ~400 while Nq reaches 25k at stage 1 (MViTv2-S 16x4 @ 224^2). The
-whole K/V block fits in VMEM, so the kernel tiles over Q rows only and
-computes, per tile:
+whole K/V block fits in VMEM, so both kernels tile over Q rows only.
 
+Forward, per Q tile:
     s = (q_tile @ K^T) * scale + bias_tile      (f32 accumulation)
-    p = softmax(s)                              (row-wise, full Nk in VMEM)
-    o = p @ V
+    p = softmax(s); o = p @ V
 
-The decomposed relative-position bias (`attention.py:67-159`) is expanded
-*inside* the kernel from three narrow per-row tables (rh [Nq, KH],
-rw [Nq, KW], rt [Nq, KT]) — the [Nq, Nk] bias and attention matrices never
-touch HBM. This removes the dominant memory traffic of the XLA path
-(measured 63% of MViTv2-S forward before layout fixes).
+Backward (flash-style recompute): recompute s/p in VMEM, write dq and the
+per-row rel-table grads, accumulate dk/dv across Q tiles (their output
+blocks map to (b, 0, 0) for every tile index, persisting across the
+sequential TPU grid).
 
-k layout: column 0 is the cls token (bias 0 — the tables' cls row is
+The decomposed relative-position bias (`attention.py:67-159`) rides a single
+concatenated per-row table rcat = [rh | rw | rt] ([Nq, KH+KW+KT]) expanded
+inside the kernel by one constant 0/1 matrix: bias = rcat @ Ecat. The
+[Nq, Nk] bias/attention matrices never touch HBM, and the narrow tables pay
+the 128-lane padding tax once instead of three times.
+
+k layout: column 0 is the cls token (bias 0 — the tables' cls rows are
 zeroed by the caller), columns 1.. enumerate (kt, kh, kw) row-major,
 columns >= Nk are padding masked to -inf.
-
-Backward: custom_vjp recomputing attention with standard XLA ops (the
-flash backward kernel is a later-round optimization; the recompute path
-matches what the non-fused graph does anyway).
 """
 
 import functools
@@ -48,76 +48,129 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _expansion_matrices(kt, kh, kw, nk, nkp, has_cls, with_rt):
-    """Constant 0/1 matrices that expand the decomposed per-row tables to
-    the key axis via tiny MXU matmuls (Mosaic-friendly — vector reshapes of
-    tiny minor dims are not lowerable).
+def _expansion_matrix(kt, kh, kw, nk, nkp, has_cls, with_rt):
+    """Ecat [KH+KW(+KT), NKP] 0/1 expansion + additive -inf padding mask.
 
     k column j: 0 = cls (zero bias); j-1 = (t*KH + h)*KW + w; j >= nk is
-    padding, masked via an additive -inf row.
+    padding.
     """
     off = 1 if has_cls else 0
-    Eh = np.zeros((kh, nkp), np.float32)
-    Ew = np.zeros((kw, nkp), np.float32)
-    Et = np.zeros((kt, nkp), np.float32)
+    l = kh + kw + (kt if with_rt else 0)
+    E = np.zeros((l, nkp), np.float32)
     for t in range(kt):
         for h in range(kh):
             for w in range(kw):
                 j = off + (t * kh + h) * kw + w
-                Eh[h, j] = 1.0
-                Ew[w, j] = 1.0
-                Et[t, j] = 1.0
+                E[h, j] = 1.0
+                E[kh + w, j] = 1.0
+                if with_rt:
+                    E[kh + kw + t, j] = 1.0
     mask = np.zeros((1, nkp), np.float32)
     mask[0, nk:] = -1e30
-    return Eh, Ew, (Et if with_rt else np.zeros((kt, nkp), np.float32)), mask
+    return E, mask
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, rt_ref,
-                 eh_ref, ew_ref, et_ref, mask_ref, o_ref, *, scale):
-    """One Q tile vs full K/V. Shapes (leading grid dims removed):
-    q [TQ, D], k/v [NKP, D], rh [TQ, KH], rw [TQ, KW], rt [TQ, KT],
-    expansion matrices eh [KH, NKP], ew [KW, NKP], et [KT, NKP],
-    mask [1, NKP], o [TQ, D].
-    """
+def _softmax_fwd(q, k, rcat, ecat, mask, scale):
+    """Shared s/p recompute: returns p [TQ, NKP] f32."""
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    bias = jax.lax.dot_general(
+        rcat.astype(jnp.float32), ecat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + bias + mask
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, rcat_ref, ecat_ref, mask_ref, o_ref,
+                *, scale):
+    p = _softmax_fwd(
+        q_ref[0], k_ref[0], rcat_ref[0], ecat_ref[:], mask_ref[:], scale
+    ).astype(v_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, rcat_ref, ecat_ref, mask_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, drcat_ref, *, scale):
+    i = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    p = _softmax_fwd(q, k, rcat_ref[0], ecat_ref[:], mask_ref[:], scale)
 
-    s = jax.lax.dot_general(
-        q, k,
+    dv_c = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [NKP, D]
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [TQ, NKP]
+    )  # [TQ, NKP]
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
 
-    # Bias expansion as constant matmuls: [TQ, KH] @ [KH, NKP] etc.
-    bias = jax.lax.dot_general(
-        rh_ref[0].astype(jnp.float32), eh_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    bias += jax.lax.dot_general(
-        rw_ref[0].astype(jnp.float32), ew_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if rt_ref is not None:
-        bias += jax.lax.dot_general(
-            rt_ref[0].astype(jnp.float32), et_ref[:],
+    dq_ref[0] = (
+        jax.lax.dot_general(
+            ds, k.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-    s = s + bias + mask_ref[:]
-
-    # Row-wise softmax over the full (padded) key axis.
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=1, keepdims=True)
-    p = (e / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        p, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        ) * scale
+    ).astype(dq_ref.dtype)
+    dk_c = jax.lax.dot_general(
+        ds, q.astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    ) * scale
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_c.astype(dk_ref.dtype)
+    dv_ref[0] += dv_c.astype(dv_ref.dtype)
+
+    drcat_ref[0] = jax.lax.dot_general(
+        ds, ecat_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(drcat_ref.dtype)
+
+
+def _prep(q, k, v, rh, rw, rt, kt, kh, kw, has_cls, tile_q):
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    nq_pad = _round_up(nq, tile_q)
+    nk_pad = _round_up(nk, 128)
+    pad_q = ((0, 0), (0, nq_pad - nq), (0, 0))
+    pad_k = ((0, 0), (0, nk_pad - nk), (0, 0))
+    tables = [rh, rw] + ([rt] if rt is not None else [])
+    rcat = jnp.pad(jnp.concatenate(tables, axis=-1), pad_q)
+    E, mask = _expansion_matrix(
+        kt, kh, kw, nk, nk_pad, has_cls, with_rt=rt is not None
+    )
+    return (
+        jnp.pad(q, pad_q), jnp.pad(k, pad_k), jnp.pad(v, pad_k), rcat,
+        jnp.asarray(E), jnp.asarray(mask), nq_pad, nk_pad,
+    )
+
+
+def _tile_spec(tile_q, last):
+    return pl.BlockSpec((1, tile_q, last), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fixed_spec(shape):
+    return pl.BlockSpec(shape, lambda b, i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
 
 
 def _attn_pallas_fwd_impl(q, k, v, rh, rw, rt, scale, kt, kh, kw, has_cls,
@@ -125,65 +178,20 @@ def _attn_pallas_fwd_impl(q, k, v, rh, rw, rt, scale, kt, kh, kw, has_cls,
     """q [BH, Nq, D], k/v [BH, Nk, D], rh [BH, Nq, KH], ... -> [BH, Nq, D]."""
     bh, nq, d = q.shape
     nk = k.shape[1]
-    nq_pad = _round_up(nq, tile_q)
-    nk_pad = _round_up(nk, 128)
-
-    qp = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, 0)))
-    rhp = jnp.pad(rh, ((0, 0), (0, nq_pad - nq), (0, 0)))
-    rwp = jnp.pad(rw, ((0, 0), (0, nq_pad - nq), (0, 0)))
-    inputs = [qp, kp, vp, rhp, rwp]
-    in_specs = [
-        pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_q, rh.shape[-1]), lambda b, i: (b, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_q, rw.shape[-1]), lambda b, i: (b, i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    Eh, Ew, Et, mask = _expansion_matrices(
-        kt, kh, kw, nk, nk_pad, has_cls, with_rt=rt is not None
+    qp, kp, vp, rcat, E, mask, nq_pad, nk_pad = _prep(
+        q, k, v, rh, rw, rt, kt, kh, kw, has_cls, tile_q
     )
-
-    def full_spec(shape):
-        return pl.BlockSpec(shape, lambda b, i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
-    if rt is not None:
-        rtp = jnp.pad(rt, ((0, 0), (0, nq_pad - nq), (0, 0)))
-        inputs.append(rtp)
-        in_specs.append(
-            pl.BlockSpec((1, tile_q, rt.shape[-1]), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        inputs += [jnp.asarray(Eh), jnp.asarray(Ew), jnp.asarray(Et),
-                   jnp.asarray(mask)]
-        in_specs += [full_spec(Eh.shape), full_spec(Ew.shape),
-                     full_spec(Et.shape), full_spec(mask.shape)]
-        kernel = functools.partial(_attn_kernel, scale=scale)
-    else:
-        inputs += [jnp.asarray(Eh), jnp.asarray(Ew), jnp.asarray(mask)]
-        in_specs += [full_spec(Eh.shape), full_spec(Ew.shape),
-                     full_spec(mask.shape)]
-
-        def kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref,
-                   eh_ref, ew_ref, mask_ref, o_ref):
-            _attn_kernel(
-                q_ref, k_ref, v_ref, rh_ref, rw_ref, None,
-                eh_ref, ew_ref, None, mask_ref, o_ref, scale=scale,
-            )
-
+    kv_spec = pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_fwd_kernel, scale=scale),
         grid=(bh, nq_pad // tile_q),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[
+            _tile_spec(tile_q, d), kv_spec, kv_spec,
+            _tile_spec(tile_q, rcat.shape[-1]),
+            _fixed_spec(E.shape), _fixed_spec(mask.shape),
+        ],
+        out_specs=_tile_spec(tile_q, d),
         out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * bh * nq_pad * nk_pad * d,
@@ -191,12 +199,57 @@ def _attn_pallas_fwd_impl(q, k, v, rh, rw, rt, scale, kt, kh, kw, has_cls,
             transcendentals=bh * nq_pad * nk_pad,
         ),
         interpret=_interpret(),
-    )(*inputs)
+    )(qp, kp, vp, rcat, E, mask)
     return out[:, :nq]
 
 
+def _attn_pallas_bwd_impl(q, k, v, rh, rw, rt, do, scale, kt, kh, kw,
+                          has_cls, tile_q=512):
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    qp, kp, vp, rcat, E, mask, nq_pad, nk_pad = _prep(
+        q, k, v, rh, rw, rt, kt, kh, kw, has_cls, tile_q
+    )
+    dop = jnp.pad(do, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    kv_spec = pl.BlockSpec((1, nk_pad, d), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    l = rcat.shape[-1]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(bh, nq_pad // tile_q),
+        in_specs=[
+            _tile_spec(tile_q, d), kv_spec, kv_spec,
+            _tile_spec(tile_q, l),
+            _fixed_spec(E.shape), _fixed_spec(mask.shape),
+            _tile_spec(tile_q, d),
+        ],
+        out_specs=[
+            _tile_spec(tile_q, d),
+            kv_spec, kv_spec,
+            _tile_spec(tile_q, l),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq_pad, l), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qp, kp, vp, rcat, E, mask, dop)
+    dq = outs[0][:, :nq]
+    dk = outs[1][:, :nk].astype(k.dtype)
+    dv = outs[2][:, :nk].astype(v.dtype)
+    drcat = outs[3][:, :nq]
+    drh = drcat[..., :kh].astype(rh.dtype)
+    drw = drcat[..., kh : kh + kw].astype(rw.dtype)
+    drt = (
+        drcat[..., kh + kw :].astype(rt.dtype) if rt is not None else None
+    )
+    return dq, dk, dv, drh, drw, drt
+
+
 def _reference_attention(q, k, v, rh, rw, rt, scale, kt, kh, kw, has_cls):
-    """XLA reference (used by the custom_vjp backward recompute)."""
+    """XLA reference (tests; also documents the exact math)."""
     s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
     bias = jnp.repeat(rh.astype(jnp.float32), kw, axis=-1) + jnp.tile(
         rw.astype(jnp.float32), (1, 1, kh)
@@ -234,19 +287,9 @@ def _fwd(q, k, v, rh, rw, rt, scale, kt, kh, kw, has_cls):
 
 def _bwd(scale, kt, kh, kw, has_cls, residuals, g):
     q, k, v, rh, rw, rt = residuals
-
-    def ref(q, k, v, rh, rw, rt):
-        return _reference_attention(
-            q, k, v, rh, rw, rt, scale, kt, kh, kw, has_cls
-        )
-
-    if rt is None:
-        _, vjp = jax.vjp(lambda a, b, c, d, e: ref(a, b, c, d, e, None),
-                         q, k, v, rh, rw)
-        dq, dk, dv, drh, drw = vjp(g)
-        return dq, dk, dv, drh, drw, None
-    _, vjp = jax.vjp(ref, q, k, v, rh, rw, rt)
-    return vjp(g)
+    return _attn_pallas_bwd_impl(
+        q, k, v, rh, rw, rt, g, scale, kt, kh, kw, has_cls
+    )
 
 
 fused_rel_attention.defvjp(_fwd, _bwd)

@@ -6,6 +6,7 @@ def _register_datasets():
     from pmv_tpu.data import ava  # noqa: F401
     from pmv_tpu.data import frame_datasets  # noqa: F401
     from pmv_tpu.data import kinetics  # noqa: F401
+    from pmv_tpu.data import kinetics_av  # noqa: F401
     from pmv_tpu.data import synthetic  # noqa: F401
 
 

@@ -16,6 +16,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libswresample/swresample.h>
 #include <libswscale/swscale.h>
 }
 
@@ -220,6 +221,91 @@ int pmv_decode_frames(void* handle, const long long* indices, int count,
   return filled > 0 ? filled : -4;
 }
 
+// Decode the audio stream over [start_sec, start_sec + dur_sec), resampled
+// to mono float32 at target_sr (the AVSlowFast pathway's input;
+// reference: decoder_av.py audio extraction). Returns samples written,
+// 0 if the container has no audio stream, <0 on error.
+long long pmv_decode_audio(void* handle, double start_sec, double dur_sec,
+                           int target_sr, float* out,
+                           long long max_samples) {
+  if (!handle) return -1;
+  auto* d = static_cast<Decoder*>(handle);
+  int astream = av_find_best_stream(d->fmt, AVMEDIA_TYPE_AUDIO, -1, -1,
+                                    nullptr, 0);
+  if (astream < 0) return 0;
+  AVStream* st = d->fmt->streams[astream];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  if (!dec) return -2;
+  AVCodecContext* actx = avcodec_alloc_context3(dec);
+  if (!actx || avcodec_parameters_to_context(actx, st->codecpar) < 0 ||
+      avcodec_open2(actx, dec, nullptr) < 0) {
+    if (actx) avcodec_free_context(&actx);
+    return -3;
+  }
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  AVChannelLayout in_layout = actx->ch_layout;
+  if (in_layout.nb_channels == 0) av_channel_layout_default(&in_layout, 1);
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, target_sr,
+                          &in_layout, actx->sample_fmt,
+                          actx->sample_rate, 0, nullptr) < 0 ||
+      swr_init(swr) < 0) {
+    avcodec_free_context(&actx);
+    return -4;
+  }
+
+  int64_t seek_ts = static_cast<int64_t>(start_sec / av_q2d(st->time_base));
+  av_seek_frame(d->fmt, astream, seek_ts, AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(actx);
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  long long written = 0;
+  double end_sec = start_sec + dur_sec;
+  std::vector<float> tmp(8192);
+  bool done = false;
+  while (!done && av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index != astream) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    if (avcodec_send_packet(actx, pkt) == 0) {
+      while (avcodec_receive_frame(actx, frame) == 0) {
+        double t = frame->pts != AV_NOPTS_VALUE
+                       ? frame->pts * av_q2d(st->time_base)
+                       : start_sec;
+        if (t >= end_sec) {
+          done = true;
+          av_frame_unref(frame);
+          break;
+        }
+        int out_cap = static_cast<int>(tmp.size());
+        uint8_t* outp = reinterpret_cast<uint8_t*>(tmp.data());
+        int got = swr_convert(swr, &outp, out_cap,
+                              const_cast<const uint8_t**>(frame->data),
+                              frame->nb_samples);
+        if (got > 0 && t + static_cast<double>(frame->nb_samples) /
+                               std::max(actx->sample_rate, 1) > start_sec) {
+          long long n = std::min<long long>(got, max_samples - written);
+          if (n > 0) {
+            std::memcpy(out + written, tmp.data(), n * sizeof(float));
+            written += n;
+          }
+          if (written >= max_samples) done = true;
+        }
+        av_frame_unref(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  swr_free(&swr);
+  avcodec_free_context(&actx);
+  return written;
+}
+
 void pmv_close(void* handle) {
   if (!handle) return;
   auto* d = static_cast<Decoder*>(handle);
@@ -229,9 +315,120 @@ void pmv_close(void* handle) {
 }
 
 // ---------------------------------------------------------------------------
-// Raw RGB24 AVI writer — lets tests synthesize real decodable videos without
-// an encoder dependency (uncompressed 'DIB ' fourcc video in an AVI).
-// Kept in C++ so the roundtrip test exercises the same libavformat build.
+// Raw AVI writer with optional PCM audio — lets tests synthesize real
+// decodable A/V files without an encoder dependency.
+int pmv_write_test_video_av(const char* path, const unsigned char* rgb,
+                            int num_frames, int width, int height, int fps,
+                            const float* audio, long long n_audio,
+                            int audio_sr) {
+  AVFormatContext* ofmt = nullptr;
+  avformat_alloc_output_context2(&ofmt, nullptr, "avi", path);
+  if (!ofmt) return -1;
+  const AVCodec* vcodec = avcodec_find_encoder(AV_CODEC_ID_RAWVIDEO);
+  AVStream* vst = avformat_new_stream(ofmt, vcodec);
+  AVCodecContext* vc = avcodec_alloc_context3(vcodec);
+  vc->codec_id = AV_CODEC_ID_RAWVIDEO;
+  vc->width = width;
+  vc->height = height;
+  vc->pix_fmt = AV_PIX_FMT_BGR24;
+  vc->time_base = AVRational{1, fps};
+  vst->time_base = vc->time_base;
+  if (avcodec_open2(vc, vcodec, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(vst->codecpar, vc);
+
+  AVCodecContext* ac = nullptr;
+  AVStream* ast = nullptr;
+  if (audio && n_audio > 0) {
+    const AVCodec* acodec = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+    ast = avformat_new_stream(ofmt, acodec);
+    ac = avcodec_alloc_context3(acodec);
+    ac->sample_rate = audio_sr;
+    av_channel_layout_default(&ac->ch_layout, 1);
+    ac->sample_fmt = AV_SAMPLE_FMT_S16;
+    ac->time_base = AVRational{1, audio_sr};
+    ast->time_base = ac->time_base;
+    if (avcodec_open2(ac, acodec, nullptr) < 0) return -6;
+    avcodec_parameters_from_context(ast->codecpar, ac);
+  }
+
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&ofmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+  }
+  if (avformat_write_header(ofmt, nullptr) < 0) return -5;
+
+  AVPacket* pkt = av_packet_alloc();
+
+  // Video frames.
+  AVFrame* frame = av_frame_alloc();
+  frame->format = vc->pix_fmt;
+  frame->width = width;
+  frame->height = height;
+  av_frame_get_buffer(frame, 0);
+  const size_t fbytes = static_cast<size_t>(width) * height * 3;
+  for (int i = 0; i < num_frames; ++i) {
+    av_frame_make_writable(frame);
+    const unsigned char* src = rgb + fbytes * i;
+    for (int y = 0; y < height; ++y) {
+      uint8_t* drow = frame->data[0] + y * frame->linesize[0];
+      const unsigned char* srow = src + static_cast<size_t>(y) * width * 3;
+      for (int x = 0; x < width; ++x) {
+        drow[x * 3 + 0] = srow[x * 3 + 2];
+        drow[x * 3 + 1] = srow[x * 3 + 1];
+        drow[x * 3 + 2] = srow[x * 3 + 0];
+      }
+    }
+    frame->pts = i;
+    if (avcodec_send_frame(vc, frame) == 0) {
+      while (avcodec_receive_packet(vc, pkt) == 0) {
+        av_packet_rescale_ts(pkt, vc->time_base, vst->time_base);
+        pkt->stream_index = vst->index;
+        av_interleaved_write_frame(ofmt, pkt);
+        av_packet_unref(pkt);
+      }
+    }
+  }
+  av_frame_free(&frame);
+
+  // Audio samples (one big PCM frame chunked).
+  if (ac) {
+    const int chunk = 4096;
+    AVFrame* af = av_frame_alloc();
+    for (long long pos = 0; pos < n_audio; pos += chunk) {
+      int n = static_cast<int>(std::min<long long>(chunk, n_audio - pos));
+      af->format = ac->sample_fmt;
+      av_channel_layout_copy(&af->ch_layout, &ac->ch_layout);
+      af->nb_samples = n;
+      av_frame_get_buffer(af, 0);
+      int16_t* dst = reinterpret_cast<int16_t*>(af->data[0]);
+      for (int i = 0; i < n; ++i) {
+        float v = audio[pos + i];
+        v = v < -1.f ? -1.f : (v > 1.f ? 1.f : v);
+        dst[i] = static_cast<int16_t>(v * 32767.f);
+      }
+      af->pts = pos;
+      if (avcodec_send_frame(ac, af) == 0) {
+        while (avcodec_receive_packet(ac, pkt) == 0) {
+          av_packet_rescale_ts(pkt, ac->time_base, ast->time_base);
+          pkt->stream_index = ast->index;
+          av_interleaved_write_frame(ofmt, pkt);
+          av_packet_unref(pkt);
+        }
+      }
+      av_frame_unref(af);
+    }
+    av_frame_free(&af);
+  }
+
+  av_write_trailer(ofmt);
+  av_packet_free(&pkt);
+  avcodec_free_context(&vc);
+  if (ac) avcodec_free_context(&ac);
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&ofmt->pb);
+  avformat_free_context(ofmt);
+  return 0;
+}
+
+// Raw RGB24 AVI writer — kept for backward compatibility of the binding.
 int pmv_write_test_video(const char* path, const unsigned char* rgb,
                          int num_frames, int width, int height, int fps) {
   AVFormatContext* ofmt = nullptr;

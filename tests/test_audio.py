@@ -1,0 +1,104 @@
+"""Audio decode, log-mel features, and AVSlowFast tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmv_tpu.config import get_cfg
+from pmv_tpu.data import audio as audio_lib
+from pmv_tpu.models import build_model
+from pmv_tpu.native import binding
+
+
+def test_audio_roundtrip(tmp_path):
+    """Write a 440 Hz tone, decode it back, verify the spectrum peak."""
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    frames = np.zeros((20, 32, 32, 3), np.uint8)
+    path = tmp_path / "av.avi"
+    binding.write_test_video(path, frames, fps=10, audio=tone, audio_sr=sr)
+    with binding.VideoReader(path) as vr:
+        wav = vr.read_audio(0.0, 1.0, sample_rate=sr)
+    assert len(wav) >= sr // 2
+    spec = np.abs(np.fft.rfft(wav[: sr // 2]))
+    freq = np.fft.rfftfreq(sr // 2, 1 / sr)
+    peak = freq[np.argmax(spec)]
+    assert abs(peak - 440) < 10, f"peak at {peak} Hz"
+
+
+def test_audio_resample(tmp_path):
+    """Decode at a different rate than stored: length scales accordingly."""
+    sr = 16000
+    tone = np.random.default_rng(0).normal(0, 0.1, sr).astype(np.float32)
+    frames = np.zeros((10, 16, 16, 3), np.uint8)
+    path = tmp_path / "av.avi"
+    binding.write_test_video(path, frames, fps=10, audio=tone, audio_sr=sr)
+    with binding.VideoReader(path) as vr:
+        wav8k = vr.read_audio(0.0, 1.0, sample_rate=8000)
+    assert abs(len(wav8k) - 8000) < 800
+
+
+def test_no_audio_stream(tmp_path):
+    frames = np.zeros((5, 16, 16, 3), np.uint8)
+    path = tmp_path / "v.avi"
+    binding.write_test_video(path, frames, fps=5)
+    with binding.VideoReader(path) as vr:
+        wav = vr.read_audio(0.0, 1.0)
+    assert len(wav) == 0
+
+
+def test_logmel_shapes_and_tone():
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    lm = audio_lib.gen_logmel(tone, sr=sr, num_frames=128)
+    assert lm.shape == (128, 40)
+    # Energy concentrates in one mel band.
+    band_energy = lm[:60].mean(axis=0)
+    assert band_energy.argmax() > 5  # 1 kHz is well above the lowest band
+
+
+def test_mel_filterbank_partition():
+    fb = audio_lib.mel_filterbank(16000, 512, 40)
+    assert fb.shape == (40, 257)
+    assert fb.min() >= 0
+    # Interior frequencies are covered by at least one filter.
+    coverage = fb.sum(axis=0)[5:-5]
+    assert (coverage > 0).all()
+
+
+def test_avslowfast_forward():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AVSlowFast"
+    cfg.MODEL.ARCH = "avslowfast"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    model = build_model(cfg, dtype=jnp.float32)
+    slow = jnp.zeros((1, 2, 32, 32, 3))
+    fast = jnp.zeros((1, 8, 32, 32, 3))
+    audio = jnp.zeros((1, 128, 40))
+    variables = model.init(
+        jax.random.PRNGKey(0), [slow, fast, audio], train=False
+    )
+    out = model.apply(variables, [slow, fast, audio], train=False)
+    assert out.shape == (1, 5)
+    v_emb, a_emb = model.apply(
+        variables, [slow, fast, audio], train=False, return_embeddings=True
+    )
+    assert v_emb.ndim == 2 and a_emb.ndim == 2
+
+
+def test_avs_loss():
+    from pmv_tpu.models.avslowfast import avs_loss
+
+    rng = jax.random.PRNGKey(0)
+    v = jax.random.normal(rng, (4, 16))
+    # Aligned = same direction, misaligned = random.
+    loss_good = avs_loss(v, v, jax.random.normal(jax.random.PRNGKey(1), (4, 16)))
+    loss_bad = avs_loss(v, jax.random.normal(jax.random.PRNGKey(2), (4, 16)), v)
+    assert float(loss_good) < float(loss_bad)

@@ -145,6 +145,7 @@ class AttentionPool(nn.Module):
     stride: Sequence[int]
     mode: str
     has_cls_embed: bool
+    pad_lanes: bool = False  # 128-lane channel padding (eval graphs only)
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
 
@@ -176,13 +177,28 @@ class AttentionPool(nn.Module):
                 tuple(self.kernel) + (1, C),
             )
             tiled = jnp.tile(kernel, (1, 1, 1, 1, H)).astype(self.dtype)
+            # TPU: depthwise convs want 128-lane-aligned channels (measured
+            # ~free at C=128 vs 1.7 ms at C=96 on v5e). Zero-pad channels to
+            # a lane multiple and slice back — exact, zero output in padding.
+            # Eval graphs only: XLA's grouped-conv *gradient* simplification
+            # miscompiles the pad/slice pair (batch_group_count mismatch), so
+            # training keeps the native channel count.
+            hc = H * C
+            hc_pad = -(-hc // 128) * 128 if self.pad_lanes else hc
+            if hc_pad != hc:
+                x = jnp.pad(x, ((0, 0),) * 4 + ((0, hc_pad - hc),))
+                tiled = jnp.pad(
+                    tiled, ((0, 0),) * 3 + ((0, 0), (0, hc_pad - hc))
+                )
             x = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), tiled,
                 window_strides=tuple(self.stride),
                 padding=padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                feature_group_count=H * C,
+                feature_group_count=hc_pad,
             )
+            if hc_pad != hc:
+                x = x[..., :hc]
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
             x = x.reshape(B, -1, H, C)
             x = jnp.moveaxis(x, 2, 1)
@@ -254,17 +270,22 @@ class MultiScaleAttention(nn.Module):
             qkv = qkv.reshape(B, N, 3, self.num_heads, -1).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]
 
+        # Lane padding is exact but only gradient-safe in eval graphs.
+        pad_lanes = deterministic and jax.default_backend() == "tpu"
         q, q_shape = AttentionPool(
             kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, dtype=self.dtype, name="pool_q",
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            dtype=self.dtype, name="pool_q",
         )(q, thw_shape)
         k, k_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, dtype=self.dtype, name="pool_k",
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            dtype=self.dtype, name="pool_k",
         )(k, thw_shape)
         v, v_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, dtype=self.dtype, name="pool_v",
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            dtype=self.dtype, name="pool_v",
         )(v, thw_shape)
 
         if self.pool_first:

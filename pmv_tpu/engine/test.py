@@ -80,6 +80,72 @@ def extract_features(cfg, state, model, mesh):
     return out
 
 
+def test_detection(cfg, state, model, mesh):
+    """AVA-style detection eval: per-keyframe box scores -> PASCAL mAP
+    (`test_net.py` AVAMeter path + `ava_eval_helper.py`)."""
+    import jax.numpy as jnp
+
+    from pmv_tpu.utils.ava_eval import evaluate_detections
+
+    test_loader = loader_mod.construct_loader(cfg, "test")
+    mean = np.asarray(cfg.DATA.MEAN, np.float32) * 255.0
+    std = np.asarray(cfg.DATA.STD, np.float32) * 255.0
+
+    @jax.jit
+    def det_step(state, frames, boxes, box_mask):
+        x = (frames.astype(jnp.float32) - mean) / std
+        inputs = steps.pack_pathways(cfg, x)
+        xs = inputs[0] if len(inputs) == 1 else inputs
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(
+            variables, xs, train=False, boxes=boxes, box_mask=box_mask
+        )
+
+    groundtruth, detections = {}, {}
+    for batch in test_loader:
+        scores = np.asarray(
+            jax.device_get(
+                det_step(
+                    state, batch["frames"], batch["boxes"], batch["box_mask"]
+                )
+            ),
+            dtype=np.float32,
+        )
+        for b in range(scores.shape[0]):
+            key = tuple(batch["metadata"][b].tolist())
+            valid = batch["box_mask"][b]
+            boxes = batch["boxes"][b][valid]
+            labels_hot = batch["label"][b][valid] if "label" in batch else (
+                batch["labels"][b][valid]
+            )
+            gt_boxes, gt_labels = [], []
+            det_boxes, det_labels, det_scores = [], [], []
+            for i in range(len(boxes)):
+                for c in np.nonzero(labels_hot[i])[0]:
+                    gt_boxes.append(boxes[i])
+                    gt_labels.append(int(c))
+                for c in range(scores.shape[-1]):
+                    det_boxes.append(boxes[i])
+                    det_labels.append(c)
+                    det_scores.append(scores[b, np.arange(len(valid))[valid][i], c])
+            groundtruth[key] = (np.asarray(gt_boxes), np.asarray(gt_labels))
+            detections[key] = (
+                np.asarray(det_boxes),
+                np.asarray(det_labels),
+                np.asarray(det_scores),
+            )
+    mean_ap, per_class = evaluate_detections(
+        groundtruth, detections, cfg.MODEL.NUM_CLASSES
+    )
+    logger.info("AVA mAP: %.4f", mean_ap)
+    pmv_logging.log_json_stats(
+        {"split": "test_final", "map": mean_ap}, logger
+    )
+    return {"map": mean_ap, "per_class": per_class}
+
+
 def test_one(cfg, state, model, model_port, mesh, rel_ratio=None):
     test_loader = loader_mod.construct_loader(cfg, "test")
     logger.info("Testing model for %d iterations", len(test_loader))
@@ -144,14 +210,41 @@ def test(cfg):
     # Init from one test batch's geometry.
     test_loader = loader_mod.construct_loader(cfg, "test")
     example = next(iter(test_loader))
-    state, _ = steps.init_state(
-        cfg, model, {"frames": example["frames"], "labels": example["labels"]},
-        rng,
-    )
+    if cfg.DETECTION.ENABLE:
+        import jax.numpy as jnp
+
+        from pmv_tpu.engine.train_state import TrainState
+        from pmv_tpu.models import optimizer as optim
+
+        x = example["frames"].astype(np.float32)
+        inputs = steps.pack_pathways(cfg, x)
+        xs = inputs[0] if len(inputs) == 1 else inputs
+        variables = jax.jit(
+            lambda k: model.init(
+                k, xs, train=False,
+                boxes=jnp.asarray(example["boxes"]),
+                box_mask=jnp.asarray(example["box_mask"]),
+            )
+        )(rng)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=None,
+        )
+    else:
+        state, _ = steps.init_state(
+            cfg, model,
+            {"frames": example["frames"], "labels": example["labels"]},
+            rng,
+        )
     if cfg.LOG_MODEL_INFO:
         misc.log_model_info(state, cfg)
     state = cu.load_test_checkpoint(cfg, state)
     state = mesh_lib.replicate(state, mesh)
+
+    if cfg.DETECTION.ENABLE:
+        return test_detection(cfg, state, model, mesh)
 
     if cfg.TEST.FEAT_EXTRACT:
         return extract_features(cfg, state, model, mesh)

@@ -76,6 +76,64 @@ def init_ssl_state(cfg, model, example_batch, rng, tx=None):
     ), tx
 
 
+def make_masked_train_step(cfg, model, tx):
+    """MaskMViT (MaskFeat) train step: masked-token HOG regression."""
+    from pmv_tpu.models.masked import masked_loss
+
+    preprocess = sup_steps.make_preprocess_fn(cfg, train=True)
+
+    def train_step(state, batch, rng, lr):
+        k_pre, k_mask, k_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3
+        )
+        x = preprocess(k_pre, batch["frames"])
+
+        def loss_fn(params):
+            pred, target, mask = model.apply(
+                {"params": params}, x, train=True,
+                rngs={"mask": k_mask, "dropout": k_drop},
+            )
+            return masked_loss(pred, target, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grad_norm = optax.global_norm(grads)
+        opt_state = optim.set_lr(state.opt_state, lr)
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "nan": jnp.isnan(loss) | jnp.isinf(loss),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def init_masked_state(cfg, model, example_batch, rng, tx=None):
+    frames = example_batch["frames"].astype(jnp.float32)
+    variables = jax.jit(
+        lambda k: model.init(
+            {"params": k, "mask": jax.random.fold_in(k, 1)}, frames,
+            train=False,
+        )
+    )(rng)
+    params = variables["params"]
+    if tx is None:
+        tx = optim.construct_optimizer(params, cfg)
+    from pmv_tpu.engine.train_state import TrainState
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    ), tx
+
+
 def make_ssl_train_step(cfg, model, tx):
     ssl_type = cfg.CONTRASTIVE.TYPE
     temperature = cfg.CONTRASTIVE.T

@@ -29,12 +29,18 @@ def train_ssl(cfg):
     model = build_model(cfg)
     train_loader = loader_mod.construct_loader(cfg, "train")
     example = next(iter(train_loader))
-    state, tx = ssl_steps.init_ssl_state(
-        cfg, model,
-        {"frames": example["frames"], "index": example["index"]}, rng,
-    )
+    if cfg.MODEL.MODEL_NAME == "MaskMViT":
+        state, tx = ssl_steps.init_masked_state(
+            cfg, model, {"frames": example["frames"]}, rng
+        )
+        train_step = jax.jit(ssl_steps.make_masked_train_step(cfg, model, tx))
+    else:
+        state, tx = ssl_steps.init_ssl_state(
+            cfg, model,
+            {"frames": example["frames"], "index": example["index"]}, rng,
+        )
+        train_step = jax.jit(ssl_steps.make_ssl_train_step(cfg, model, tx))
     state = mesh_lib.replicate(state, mesh)
-    train_step = jax.jit(ssl_steps.make_ssl_train_step(cfg, model, tx))
 
     meter = meters_mod.TrainMeter(len(train_loader), cfg)
     start_epoch = 0

@@ -28,7 +28,7 @@ def main():
         init_distributed(cfg)
 
         if cfg.TRAIN.ENABLE:
-            if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+            if cfg.MODEL.MODEL_NAME in ("ContrastiveModel", "MaskMViT"):
                 from pmv_tpu.engine.ssl_train import train_ssl
 
                 train_ssl(cfg)

@@ -68,16 +68,20 @@ def make_preprocess_fn(cfg, train: bool):
     return preprocess
 
 
-def pack_pathways(cfg, x):
+def pack_pathways(cfg, x, audio=None):
     """Single tensor -> per-pathway list (`datasets/utils.py` pack_pathway_output).
 
     SlowFast: slow = stride-alpha temporal subsample, fast = full.
+    AVSlowFast additionally appends the log-mel audio clip.
     """
     if cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH:
         return [x]
     if cfg.MODEL.ARCH in cfg.MODEL.MULTI_PATHWAY_ARCH:
         alpha = cfg.SLOWFAST.ALPHA
         slow = x[:, :: alpha]
+        if cfg.MODEL.ARCH == "avslowfast":
+            assert audio is not None, "avslowfast needs batch['audio']"
+            return [slow, x, audio]
         return [slow, x]
     raise NotImplementedError(f"arch {cfg.MODEL.ARCH}")
 
@@ -121,7 +125,7 @@ def make_train_step(cfg, model, tx, model_pm=None):
             )
         else:
             targets = labels
-        inputs = pack_pathways(cfg, x)
+        inputs = pack_pathways(cfg, x, audio=batch.get("audio"))
         if len(inputs) == 1:
             inputs = inputs[0]
 
@@ -191,9 +195,9 @@ def make_eval_step(cfg, model):
     mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
     std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
 
-    def eval_step(state: TrainState, frames):
+    def eval_step(state: TrainState, frames, audio=None):
         x = (frames.astype(jnp.float32) - mean) / std
-        inputs = pack_pathways(cfg, x)
+        inputs = pack_pathways(cfg, x, audio=audio)
         if len(inputs) == 1:
             inputs = inputs[0]
         variables = {"params": state.params}
@@ -293,7 +297,7 @@ def init_state(cfg, model, example_batch, rng, tx=None):
     """
     frames = example_batch["frames"]
     x = frames.astype(jnp.float32)
-    inputs = pack_pathways(cfg, x)
+    inputs = pack_pathways(cfg, x, audio=example_batch.get("audio"))
     if len(inputs) == 1:
         inputs = inputs[0]
     # Jit the init: un-jitted flax init runs the whole forward eagerly,

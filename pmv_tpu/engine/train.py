@@ -42,7 +42,8 @@ def train_epoch(
     for cur_iter, batch in enumerate(train_loader):
         epoch_exact = cur_epoch + float(cur_iter) / data_size
         lr = get_lr_at_epoch(cfg, epoch_exact)
-        keep = {"frames", "labels", "pm", "boxes", "box_mask", "index"}
+        keep = {"frames", "labels", "pm", "boxes", "box_mask", "index",
+                "audio", "audio_mis"}
         device_batch = mesh_lib.shard_batch(
             {k: v for k, v in batch.items() if k in keep}, mesh
         )

@@ -32,6 +32,11 @@ def main():
     from pmv_tpu.parallel import mesh as mesh_lib
 
     cfg = _mvitv2_s_cfg(tiny=False)
+    # Full PMV recipe: on-device RandAugment + erasing + mixup
+    # (`exps/PMV/run_MViT_PMV.sh` defaults).
+    cfg.AUG.ENABLE = True
+    cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
+    cfg.AUG.RE_PROB = 0.25
     platform = jax.devices()[0].platform
     if platform == "cpu":
         # CI fallback: tiny config so the bench finishes.

@@ -150,26 +150,43 @@ def _autocontrast(img, _):
 
 
 def _equalize(img, _):
-    """PIL ImageOps.equalize integer-LUT algorithm, per frame and channel."""
+    """PIL ImageOps.equalize integer-LUT algorithm, per frame and channel.
+
+    TPU note: scatter histograms and table-lookup gathers are slow on TPU;
+    both are expressed as compare-reduce + matmul against the 256-bin
+    one-hot matrix, processed frame-by-frame (lax.map) to bound memory.
+    """
     t, h, w, c = img.shape
-    flat = jnp.round(img).astype(jnp.int32).reshape(t, h * w, c)
+    flat = jnp.round(img).astype(jnp.float32).reshape(t, h * w, c)
+    bins = jnp.arange(256, dtype=jnp.float32)
 
-    def eq_one(channel_pixels):  # [N] ints
-        hist = jnp.zeros((256,), jnp.int32).at[channel_pixels].add(1)
+    def eq_frame(frame):  # [N, C]
+        onehot = (frame[None, :, :] == bins[:, None, None]).astype(
+            jnp.float32
+        )  # [256, N, C]
+        hist = jnp.sum(onehot, axis=1).astype(jnp.int32)  # [256, C]
         nonzero = hist > 0
-        # Count of the highest nonzero bin.
-        last_idx = 255 - jnp.argmax(nonzero[::-1])
-        last_count = hist[last_idx]
-        step = (jnp.sum(hist) - last_count) // 255
-        cumsum = jnp.cumsum(hist)
-        shifted_cumsum = jnp.concatenate([jnp.zeros((1,), jnp.int32), cumsum[:-1]])
-        lut = (step // 2 + shifted_cumsum) // jnp.maximum(step, 1)
+        last_idx = 255 - jnp.argmax(nonzero[::-1], axis=0)  # [C]
+        last_count = jnp.take_along_axis(
+            hist, last_idx[None, :], axis=0
+        )[0]
+        step = (jnp.sum(hist, axis=0) - last_count) // 255  # [C]
+        cumsum = jnp.cumsum(hist, axis=0)
+        shifted = jnp.concatenate(
+            [jnp.zeros((1, c), jnp.int32), cumsum[:-1]], axis=0
+        )
+        lut = (step[None, :] // 2 + shifted) // jnp.maximum(step[None, :], 1)
         lut = jnp.clip(lut, 0, 255)
-        identity = jnp.arange(256, dtype=jnp.int32)
-        lut = jnp.where(step == 0, identity, lut)
-        return lut[channel_pixels]
+        identity = jnp.broadcast_to(
+            jnp.arange(256, dtype=jnp.int32)[:, None], (256, c)
+        )
+        lut = jnp.where(step[None, :] == 0, identity, lut)  # [256, C]
+        # LUT application as a contraction against the one-hot matrix.
+        return jnp.einsum(
+            "bc,bnc->nc", lut.astype(jnp.float32), onehot
+        )
 
-    out = jax.vmap(lambda frame: jax.vmap(eq_one, in_axes=1, out_axes=1)(frame))(flat)
+    out = jax.lax.map(eq_frame, flat)
     return out.reshape(t, h, w, c).astype(img.dtype)
 
 
@@ -304,3 +321,36 @@ class RandAugment:
         layer_keys = jax.random.split(key, self.num_layers)
         img, _ = jax.lax.scan(apply_one, img, layer_keys)
         return img
+
+    def apply_batch(self, key, x):
+        """Batch-level RandAugment: x [B, T, H, W, C].
+
+        TPU note: vmapping the per-sample op `switch` makes XLA execute every
+        branch for every sample (batched predicates) — measured 2.4 s/step
+        for MViTv2-S. Here each layer draws ONE op (+ magnitude/sign) shared
+        across the batch, so exactly `num_layers` ops execute per step. Ops
+        still vary per step/layer; the per-sample independence of the
+        reference's CPU RandAugment is traded for on-device throughput
+        (documented deviation — diversity across steps is preserved).
+        """
+        b, t, h, w, c = x.shape
+        flat = x.reshape(b * t, h, w, c)
+
+        def apply_one(carry_img, layer_key):
+            k_choice, k_mag, k_sign = jax.random.split(layer_key, 3)
+            op_idx = jax.random.randint(k_choice, (), 0, len(self.ops))
+            m = self.magnitude
+            if self.magnitude_std > 0:
+                m = m + self.magnitude_std * jax.random.normal(k_mag)
+            m = jnp.clip(m, 0.0, _LEVEL_DENOM)
+            branches = []
+            for name, fn, lvl_fn in self.ops:
+                def branch(img_, fn=fn, lvl_fn=lvl_fn):
+                    return fn(img_, lvl_fn(k_sign, m)).astype(img_.dtype)
+
+                branches.append(branch)
+            return jax.lax.switch(op_idx, branches, carry_img), None
+
+        layer_keys = jax.random.split(key, self.num_layers)
+        flat, _ = jax.lax.scan(apply_one, flat, layer_keys)
+        return flat.reshape(b, t, h, w, c)

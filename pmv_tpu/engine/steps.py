@@ -53,8 +53,9 @@ def make_preprocess_fn(cfg, train: bool):
         x = frames.astype(jnp.float32)
         if ra is not None:
             k_ra, key = jax.random.split(key)
-            keys = jax.random.split(k_ra, x.shape[0])
-            x = jax.vmap(ra)(keys, x)
+            # Batch-level op choice: per-sample switch under vmap would run
+            # every branch for every sample (see RandAugment.apply_batch).
+            x = ra.apply_batch(k_ra, x)
         x = (x - mean) / std
         if use_re:
             k_re, key = jax.random.split(key)

@@ -12,11 +12,9 @@ with normalized [0, 1] box coordinates; frame lists use the shared
 """
 
 import os
-from collections import defaultdict
-
 import numpy as np
 
-from pmv_tpu.data import spatial, transform
+from pmv_tpu.data import transform
 from pmv_tpu.data.build import DATASET_REGISTRY
 from pmv_tpu.data.frame_datasets import _load_jpeg_frames, load_image_lists
 from pmv_tpu.utils import logging as pmv_logging

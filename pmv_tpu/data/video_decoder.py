@@ -9,8 +9,6 @@ the host never touches full-resolution full-window pixel data.
 
 import math
 
-import numpy as np
-
 from pmv_tpu.data import temporal
 
 

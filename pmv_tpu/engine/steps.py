@@ -20,9 +20,6 @@ Design notes:
   program (SURVEY/BASELINE).
 """
 
-import functools
-from typing import Any, Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import optax

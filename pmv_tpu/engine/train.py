@@ -12,7 +12,6 @@ params); the released PMV recipes keep SWITCH_AUTO off so the common path
 compiles exactly one program.
 """
 
-import math
 import pprint
 
 import jax

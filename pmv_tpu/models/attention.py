@@ -18,8 +18,7 @@ implementation, by design:
   early-stage sequences.
 """
 
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pmv_tpu.models.build import MODEL_REGISTRY, build_model
+from pmv_tpu.models.build import MODEL_REGISTRY
 from pmv_tpu.models.common import trunc_normal_init
 
 

@@ -16,9 +16,7 @@ Key re-design decisions vs the reference:
   when cfg.MODEL.ACT_CHECKPOINT is set.
 """
 
-import math
-from functools import partial
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -13,10 +13,7 @@ LR scheduling is per-iteration: the engine passes epoch_exact into
 a mutable scalar (we use optax.inject_hyperparams).
 """
 
-from typing import Any, Callable
-
 import jax
-import jax.numpy as jnp
 import optax
 
 from pmv_tpu.utils import lr_policy

@@ -7,7 +7,6 @@ by `pack_pathway_output`. NONLOCAL blocks insert per cfg.NONLOCAL.LOCATION
 the released recipes).
 """
 
-import math
 from functools import partial
 from typing import Any
 

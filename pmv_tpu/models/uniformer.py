@@ -9,7 +9,7 @@ params) — UniFormer has no rel-pos tables so hw_switch only selects the
 transposed geometry.
 """
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

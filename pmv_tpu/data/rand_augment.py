@@ -322,35 +322,50 @@ class RandAugment:
         img, _ = jax.lax.scan(apply_one, img, layer_keys)
         return img
 
-    def apply_batch(self, key, x):
+    def apply_batch(self, key, x, groups=2):
         """Batch-level RandAugment: x [B, T, H, W, C].
 
         TPU note: vmapping the per-sample op `switch` makes XLA execute every
         branch for every sample (batched predicates) — measured 2.4 s/step
-        for MViTv2-S. Here each layer draws ONE op (+ magnitude/sign) shared
-        across the batch, so exactly `num_layers` ops execute per step. Ops
-        still vary per step/layer; the per-sample independence of the
-        reference's CPU RandAugment is traded for on-device throughput
-        (documented deviation — diversity across steps is preserved).
+        for MViTv2-S. Here the batch is split into `groups` chunks and each
+        layer draws ONE op (+ magnitude/sign) per chunk: total elementwise
+        work equals `num_layers` full-batch ops regardless of `groups`, so
+        diversity is (almost) free. Per-sample independence of the
+        reference's CPU RandAugment is approximated; diversity across
+        steps/groups is preserved (documented deviation).
         """
-        b, t, h, w, c = x.shape
-        flat = x.reshape(b * t, h, w, c)
+        b = x.shape[0]
+        groups = max(1, min(groups, b))
+        while b % groups:
+            groups -= 1
 
-        def apply_one(carry_img, layer_key):
-            k_choice, k_mag, k_sign = jax.random.split(layer_key, 3)
-            op_idx = jax.random.randint(k_choice, (), 0, len(self.ops))
-            m = self.magnitude
-            if self.magnitude_std > 0:
-                m = m + self.magnitude_std * jax.random.normal(k_mag)
-            m = jnp.clip(m, 0.0, _LEVEL_DENOM)
-            branches = []
-            for name, fn, lvl_fn in self.ops:
-                def branch(img_, fn=fn, lvl_fn=lvl_fn):
-                    return fn(img_, lvl_fn(k_sign, m)).astype(img_.dtype)
+        def apply_group(key_g, xg):
+            bg, t, h, w, c = xg.shape
+            flat = xg.reshape(bg * t, h, w, c)
 
-                branches.append(branch)
-            return jax.lax.switch(op_idx, branches, carry_img), None
+            def apply_one(carry_img, layer_key):
+                k_choice, k_mag, k_sign = jax.random.split(layer_key, 3)
+                op_idx = jax.random.randint(k_choice, (), 0, len(self.ops))
+                m = self.magnitude
+                if self.magnitude_std > 0:
+                    m = m + self.magnitude_std * jax.random.normal(k_mag)
+                m = jnp.clip(m, 0.0, _LEVEL_DENOM)
+                branches = []
+                for name, fn, lvl_fn in self.ops:
+                    def branch(img_, fn=fn, lvl_fn=lvl_fn):
+                        return fn(img_, lvl_fn(k_sign, m)).astype(img_.dtype)
 
-        layer_keys = jax.random.split(key, self.num_layers)
-        flat, _ = jax.lax.scan(apply_one, flat, layer_keys)
-        return flat.reshape(b, t, h, w, c)
+                    branches.append(branch)
+                return jax.lax.switch(op_idx, branches, carry_img), None
+
+            layer_keys = jax.random.split(key_g, self.num_layers)
+            flat, _ = jax.lax.scan(apply_one, flat, layer_keys)
+            return flat.reshape(bg, t, h, w, c)
+
+        keys = jax.random.split(key, groups)
+        chunk = b // groups
+        outs = [
+            apply_group(keys[g], x[g * chunk : (g + 1) * chunk])
+            for g in range(groups)
+        ]
+        return jnp.concatenate(outs, axis=0)

@@ -139,8 +139,16 @@ _C.MVIT.SEPARATE_QKV = False
 _C.MVIT.HEAD_INIT_SCALE = 1.0
 _C.MVIT.USE_MEAN_POOLING = False
 _C.MVIT.USE_FIXED_SINCOS_POS = False
-# TPU: use the Pallas fused attention kernel where shapes allow.
-_C.MVIT.USE_PALLAS_ATTENTION = True
+# TPU: use the Pallas fused attention kernel where shapes allow. Off by
+# default since the bias-in-matmul XLA path (attention.py) overtook it on
+# v5e (full step 155.7 ms vs 164.1 at bs 8); the kernel remains for
+# shapes/backends where a materialized [Nq,Nk] matrix cannot fit.
+_C.MVIT.USE_PALLAS_ATTENTION = False
+# TPU: hand-written depthwise conv kernel for the stride-1 3x3x3 pooling
+# convs. Off by default: measured SLOWER than XLA's grouped conv on v5e
+# (full step 200 vs 172 ms; kernel fwd 1.7 vs 0.3 ms at stage 1 — the
+# unaligned sublane taps dominate). Kept for further kernel work.
+_C.MVIT.USE_PALLAS_POOLS = False
 
 # ------------------------------------------------------------------ UNIFORMER
 _C.UNIFORMER = CfgNode()

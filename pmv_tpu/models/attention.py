@@ -27,6 +27,13 @@ import numpy as np
 
 from pmv_tpu.models.common import DropPath, Mlp, max_pool_3d, avg_pool_3d, trunc_normal_init
 
+# Fused-attention sequence threshold, swept end-to-end on v5e (full-step
+# ms at bs 8: 1024 -> 183.4, 4096 -> 175.6, 20000 -> 176.8): the kernel
+# wins only for the large early-stage sequences; stage-3's Nq=1570 runs
+# faster on the XLA einsum path.
+FUSED_ATTENTION_MIN_Q = 4096
+_DIAG_SKIP_POOL_LN = False  # diagnostic only
+
 
 def interpolate_rel_pos(rel_pos, d):
     """Linear-resize a [L, C] rel-pos table to [d, C].
@@ -145,6 +152,7 @@ class AttentionPool(nn.Module):
     mode: str
     has_cls_embed: bool
     pad_lanes: bool = False  # 128-lane channel padding (eval graphs only)
+    use_pallas_pools: bool = False  # hand-written depthwise kernel on TPU
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
 
@@ -176,28 +184,45 @@ class AttentionPool(nn.Module):
                 tuple(self.kernel) + (1, C),
             )
             tiled = jnp.tile(kernel, (1, 1, 1, 1, H)).astype(self.dtype)
-            # TPU: depthwise convs want 128-lane-aligned channels (measured
-            # ~free at C=128 vs 1.7 ms at C=96 on v5e). Zero-pad channels to
-            # a lane multiple and slice back — exact, zero output in padding.
-            # Eval graphs only: XLA's grouped-conv *gradient* simplification
-            # miscompiles the pad/slice pair (batch_group_count mismatch), so
-            # training keeps the native channel count.
             hc = H * C
-            hc_pad = -(-hc // 128) * 128 if self.pad_lanes else hc
-            if hc_pad != hc:
-                x = jnp.pad(x, ((0, 0),) * 4 + ((0, hc_pad - hc),))
-                tiled = jnp.pad(
-                    tiled, ((0, 0),) * 3 + ((0, 0), (0, hc_pad - hc))
+            if (
+                self.use_pallas_pools
+                and jax.default_backend() == "tpu"
+                and tuple(self.kernel) == (3, 3, 3)
+                and tuple(self.stride) == (1, 1, 1)
+            ):
+                # Hand-written depthwise kernel: the hot stride-1 q-pool.
+                # 27 shifted FMAs on VMEM tiles; channel lanes filled by
+                # Mosaic tiling, no grouped-conv lowering (and no XLA
+                # grouped-conv-gradient miscompile) at any channel count.
+                from pmv_tpu.ops.depthwise_pallas import depthwise3x3x3
+
+                x = depthwise3x3x3(
+                    x.astype(self.dtype), tiled.reshape(3, 3, 3, hc)
                 )
-            x = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), tiled,
-                window_strides=tuple(self.stride),
-                padding=padding,
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                feature_group_count=hc_pad,
-            )
-            if hc_pad != hc:
-                x = x[..., :hc]
+            else:
+                # TPU: depthwise convs want 128-lane-aligned channels
+                # (measured ~free at C=128 vs 1.7 ms at C=96 on v5e).
+                # Zero-pad channels to a lane multiple and slice back —
+                # exact, zero output in padding. Eval graphs only: XLA's
+                # grouped-conv *gradient* simplification miscompiles the
+                # pad/slice pair (batch_group_count mismatch), so training
+                # keeps the native channel count.
+                hc_pad = -(-hc // 128) * 128 if self.pad_lanes else hc
+                if hc_pad != hc:
+                    x = jnp.pad(x, ((0, 0),) * 4 + ((0, hc_pad - hc),))
+                    tiled = jnp.pad(
+                        tiled, ((0, 0),) * 3 + ((0, 0), (0, hc_pad - hc))
+                    )
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), tiled,
+                    window_strides=tuple(self.stride),
+                    padding=padding,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    feature_group_count=hc_pad,
+                )
+                if hc_pad != hc:
+                    x = x[..., :hc]
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
             x = x.reshape(B, -1, H, C)
             x = jnp.moveaxis(x, 2, 1)
@@ -213,7 +238,7 @@ class AttentionPool(nn.Module):
             x = x.reshape(B, H, -1, C)
         if self.has_cls_embed:
             x = jnp.concatenate([cls_tok, x], axis=2)
-        if self.mode == "conv":
+        if self.mode == "conv" and not _DIAG_SKIP_POOL_LN:
             x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
         return x, new_thw
 
@@ -240,6 +265,7 @@ class MultiScaleAttention(nn.Module):
     separate_qkv: bool = False
     hw_switch: bool = False  # static: portrait specialization swaps H/W tables
     use_pallas: bool = False  # fused attention kernel on TPU backends
+    use_pallas_pools: bool = False  # hand-written depthwise pool kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -274,16 +300,19 @@ class MultiScaleAttention(nn.Module):
         q, q_shape = AttentionPool(
             kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
             has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            use_pallas_pools=self.use_pallas_pools,
             dtype=self.dtype, name="pool_q",
         )(q, thw_shape)
         k, k_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
             has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            use_pallas_pools=self.use_pallas_pools,
             dtype=self.dtype, name="pool_k",
         )(k, thw_shape)
         v, v_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
             has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            use_pallas_pools=self.use_pallas_pools,
             dtype=self.dtype, name="pool_v",
         )(v, thw_shape)
 
@@ -338,7 +367,7 @@ class MultiScaleAttention(nn.Module):
             and jax.default_backend() == "tpu"
             # The kernel pays off where the attention matrix is large; short
             # sequences keep the XLA path (fewer kernel compilations).
-            and q.shape[2] >= 4096
+            and q.shape[2] >= FUSED_ATTENTION_MIN_Q
         )
         if fused:
             # Pallas fused attention: bias expanded in VMEM, the [Nq, Nk]
@@ -375,12 +404,49 @@ class MultiScaleAttention(nn.Module):
                 rt.reshape(B_ * H_, Nq_, -1) if rt is not None else None,
                 1.0, k_t, k_h, k_w, self.has_cls_embed,
             ).reshape(B_, H_, Nq_, D_)
+        elif self.rel_pos_spatial:
+            # Bias folded into the QK^T matmul: S = [q*scale | rcat] @
+            # [k | E^T]^T where rcat = [rh|rw(|rt)] are the compact per-row
+            # rel tables and E the 0/1 expansion matrix (same trick as the
+            # Pallas kernel, ops/attention_pallas.py). The [Nq, Nk] bias is
+            # produced by the same MXU pass as QK^T (d 96+22 pads to one
+            # 128-lane tile) and nothing but the attention matrix itself is
+            # ever materialized. Exact: E entries are 0/1.
+            from pmv_tpu.ops.attention_pallas import _expansion_matrix
+
+            k_t, k_h, k_w = k_shape
+            nk = k.shape[2]
+            rh, rw = rel_q_tables_spatial(
+                q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
+            )
+            tables = [rh, rw]
+            if self.rel_pos_temporal:
+                tables.append(
+                    rel_q_table_temporal(
+                        q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
+                    )
+                )
+            rcat = jnp.concatenate(tables, axis=-1)
+            if self.has_cls_embed:
+                # cls query row carries zero bias.
+                rcat = jnp.pad(rcat, ((0, 0), (0, 0), (1, 0), (0, 0)))
+            E, _ = _expansion_matrix(
+                k_t, k_h, k_w, nk, nk, self.has_cls_embed,
+                with_rt=self.rel_pos_temporal,
+            )
+            q_ext = jnp.concatenate(
+                [q * scale, rcat.astype(q.dtype)], axis=-1
+            )
+            e_bh = jnp.broadcast_to(
+                jnp.asarray(E.T, q.dtype),
+                (q.shape[0], q.shape[1]) + E.T.shape,
+            )
+            k_ext = jnp.concatenate([k, e_bh], axis=-1)
+            attn = q_ext @ k_ext.transpose(0, 1, 3, 2)
+            attn = jax.nn.softmax(attn, axis=-1)
+            x = attn @ v
         else:
             attn = (q * scale) @ k.transpose(0, 1, 3, 2)
-            if self.rel_pos_spatial:
-                attn = attn + rel_pos_spatial_bias(
-                    q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
-                )
             if self.rel_pos_temporal:
                 attn = attn + rel_pos_temporal_bias(
                     q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
@@ -432,6 +498,7 @@ class MultiScaleBlock(nn.Module):
     separate_qkv: bool = False
     hw_switch: bool = False
     use_pallas: bool = False
+    use_pallas_pools: bool = False
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -459,6 +526,7 @@ class MultiScaleBlock(nn.Module):
             separate_qkv=self.separate_qkv,
             hw_switch=self.hw_switch,
             use_pallas=self.use_pallas,
+            use_pallas_pools=self.use_pallas_pools,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

@@ -293,6 +293,7 @@ class MViT(nn.Module):
                 separate_qkv=cfg.MVIT.SEPARATE_QKV,
                 hw_switch=self.hw_switch,
                 use_pallas=cfg.MVIT.USE_PALLAS_ATTENTION,
+                use_pallas_pools=cfg.MVIT.USE_PALLAS_POOLS,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

@@ -84,6 +84,8 @@ def test_fused_in_model_matches_xla_path():
         cfg.MVIT.DIM_MUL_IN_ATT = True
         cfg.MVIT.RESIDUAL_POOLING = True
         cfg.MVIT.USE_PALLAS_ATTENTION = pallas
+        # Isolate the attention kernel: the pool kernel has its own test.
+        cfg.MVIT.USE_PALLAS_POOLS = False
         return cfg
 
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))

@@ -1,0 +1,144 @@
+"""Ablation timing for the MViTv2-S 16x4 train step on the real TPU.
+
+The tunneled backend breaks jax.profiler, so hot-spot hunting is done by
+end-to-end step timing under config variants (same machinery as bench.py).
+Prints one JSON line per variant: {"variant": ..., "ms_per_step": ...}.
+
+Usage: python tools/ablate.py [variant ...]   (default: all)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pmv_tpu_jaxcache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+
+
+def base_cfg():
+    from __graft_entry__ import _mvitv2_s_cfg
+
+    cfg = _mvitv2_s_cfg(tiny=False)
+    cfg.AUG.ENABLE = True
+    cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
+    cfg.AUG.RE_PROB = 0.25
+    return cfg
+
+
+VARIANTS = {
+    "base": lambda c: c,
+    "no_aug": lambda c: _set(c, [("AUG.ENABLE", False)]),
+    "no_mixup": lambda c: _set(
+        c, [("MIXUP.ENABLE", False), ("MODEL.LOSS_FUNC", "cross_entropy")]
+    ),
+    "eval_fwd": lambda c: c,  # handled specially: eval step
+    "attn_xla": lambda c: _set(c, [("MVIT.USE_PALLAS_ATTENTION", False)]),
+    "pools_max": lambda c: _set(c, [("MVIT.MODE", "max")]),
+    "no_relpos": lambda c: _set(
+        c, [("MVIT.REL_POS_SPATIAL", False), ("MVIT.REL_POS_TEMPORAL", False)]
+    ),
+    "sgd": lambda c: _set(c, [("SOLVER.OPTIMIZING_METHOD", "sgd")]),
+    "f32": lambda c: _set(c, [("TPU.COMPUTE_DTYPE", "float32")]),
+    "bs16": lambda c: c,  # handled specially: batch 16
+    "no_clip": lambda c: _set(c, [("SOLVER.CLIP_GRAD_L2NORM", 0.0)]),
+    "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
+}
+
+
+def _set(cfg, pairs):
+    for key, val in pairs:
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        setattr(node, parts[-1], val)
+    return cfg
+
+
+def make_batch(cfg, batch_size):
+    rng_np = np.random.default_rng(0)
+    return {
+        "frames": jnp.asarray(
+            rng_np.integers(
+                0, 255,
+                (batch_size, cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE,
+                 cfg.DATA.TRAIN_CROP_SIZE, 3),
+                dtype=np.uint8,
+            )
+        ),
+        "labels": jnp.asarray(
+            rng_np.integers(0, cfg.MODEL.NUM_CLASSES, (batch_size,),
+                            dtype=np.int64)
+        ),
+    }
+
+
+def time_variant(name):
+    from pmv_tpu.engine import steps
+    from pmv_tpu.models import build_model
+    from pmv_tpu.parallel import mesh as mesh_lib
+
+    cfg = VARIANTS[name](base_cfg())
+    batch_size = 16 if name == "bs16" else BATCH
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = make_batch(cfg, batch_size)
+    mesh = mesh_lib.create_mesh()
+    state, tx = steps.init_state(cfg, model, batch, rng)
+    state = mesh_lib.replicate(state, mesh)
+    device_batch = mesh_lib.shard_batch(batch, mesh)
+
+    if name == "eval_fwd":
+        eval_step = jax.jit(steps.make_eval_step(cfg, model))
+
+        def run():
+            return eval_step(state, device_batch["frames"])
+
+        for _ in range(2):
+            jax.device_get(jnp.sum(run().astype(jnp.float32)))
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = run()
+        jax.device_get(jnp.sum(out.astype(jnp.float32)))
+        ms = (time.perf_counter() - t0) / n * 1e3
+    else:
+        train_step = jax.jit(steps.make_train_step(cfg, model, tx))
+        for _ in range(2):
+            state, metrics = train_step(state, device_batch, rng, 1e-4)
+            jax.device_get(metrics["loss"])
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = train_step(state, device_batch, rng, 1e-4)
+        jax.device_get(metrics["loss"])
+        ms = (time.perf_counter() - t0) / n * 1e3
+    print(
+        json.dumps({"variant": name, "batch": batch_size,
+                    "ms_per_step": round(ms, 2)}),
+        flush=True,
+    )
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            time_variant(name)
+        except Exception as e:  # keep going; report
+            print(json.dumps({"variant": name, "error": str(e)[:200]}),
+                  flush=True)
+        print(f"# {name}: total {time.perf_counter()-t0:.0f}s (incl compile)",
+              file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,22 @@ def rel_pos_temporal_bias(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
     return bias
 
 
+def _pool_conv(x, w, stride, padding):
+    """Depthwise NDHWC conv (w [kt,kh,kw,1,C], groups = C).
+
+    Native XLA gradients, by measurement. The conv backward costs ~35 ms
+    of the 156 ms step on v5e, but every hand-rolled replacement measured
+    worse end-to-end: flip-kernel dx + Pallas single-pass dw for stride-1 =
+    162.6 ms, lhs-dilated strided dx = +20 ms (see ops/pool_conv.py, kept
+    for other backends/shapes).
+    """
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=tuple(stride), padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=w.shape[-1],
+    )
+
+
 class AttentionPool(nn.Module):
     """Pool the token grid of Q/K/V (`attention.py:13-49` attention_pool).
 
@@ -214,12 +230,8 @@ class AttentionPool(nn.Module):
                     tiled = jnp.pad(
                         tiled, ((0, 0),) * 3 + ((0, 0), (0, hc_pad - hc))
                     )
-                x = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype), tiled,
-                    window_strides=tuple(self.stride),
-                    padding=padding,
-                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                    feature_group_count=hc_pad,
+                x = _pool_conv(
+                    x.astype(self.dtype), tiled, tuple(self.stride), padding
                 )
                 if hc_pad != hc:
                     x = x[..., :hc]

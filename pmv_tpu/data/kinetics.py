@@ -236,21 +236,39 @@ class Kinetics:
 
         # ---- crop / flip (host, cheap) -------------------------------------
         if spatial_idx == -1:
-            if use_relative:
-                th, tw = (
-                    (crop_size, crop_size) if rect is None else (rect[0], rect[1])
-                )
-                frames = transform.random_resized_crop(
-                    frames, th, tw, scale=tuple(scl), ratio=tuple(asp),
-                    switch_hw=True, rng=rng,
-                )
-            else:
-                if rect is None:
-                    frames = transform.random_crop(frames, crop_size, rng=rng)
+            def one_crop(fr):
+                if use_relative:
+                    th, tw = (
+                        (crop_size, crop_size) if rect is None
+                        else (rect[0], rect[1])
+                    )
+                    fr = transform.random_resized_crop(
+                        fr, th, tw, scale=tuple(scl), ratio=tuple(asp),
+                        switch_hw=True, rng=rng,
+                    )
                 else:
-                    frames = transform.random_crop_rect(frames, rect, rng=rng)
-            if cfg.DATA.RANDOM_FLIP:
-                frames = transform.horizontal_flip(0.5, frames, rng=rng)
+                    if rect is None:
+                        fr = transform.random_crop(fr, crop_size, rng=rng)
+                    else:
+                        fr = transform.random_crop_rect(fr, rect, rng=rng)
+                if cfg.DATA.RANDOM_FLIP:
+                    fr = transform.horizontal_flip(0.5, fr, rng=rng)
+                return fr
+
+            # Repeated augmentation (`kinetics.py:396-401`, AUG.NUM_SAMPLE):
+            # decode once, crop/flip NUM_SAMPLE times; per-copy RandAugment
+            # diversity comes from the device-side group split (the jitter
+            # scale is shared across copies — decode-time resize; documented
+            # deviation from the reference's per-copy re-jitter).
+            num_aug = (
+                cfg.AUG.NUM_SAMPLE
+                if self.mode == "train" and cfg.AUG.ENABLE
+                else 1
+            )
+            if num_aug > 1:
+                frames = np.stack([one_crop(frames) for _ in range(num_aug)])
+            else:
+                frames = one_crop(frames)
         elif spatial_idx == -2:
             ratio = list(
                 cfg.TEST.SPATIAL_SAMPLE_RATIO if is_test
@@ -271,8 +289,9 @@ class Kinetics:
                 frames = transform.uniform_crop_rect(frames, rect, spatial_idx)
 
         # Portrait -> landscape layout + pm flag (`kinetics.py:495-503`).
+        # (axes from the end: frames may carry a leading num_aug axis)
         if pm:
-            frames = np.swapaxes(frames, 1, 2)
+            frames = np.swapaxes(frames, -3, -2)
 
         frames = np.ascontiguousarray(
             np.clip(frames, 0, 255).astype(np.uint8)

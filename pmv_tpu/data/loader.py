@@ -36,6 +36,7 @@ class DataLoader:
         seed=0,
         process_index=0,
         process_count=1,
+        collate=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -47,6 +48,7 @@ class DataLoader:
         self.epoch = 0
         self.process_index = process_index
         self.process_count = process_count
+        self.collate = collate or _collate
 
     def set_epoch(self, epoch):
         """Reseed the shuffle (reference `loader.shuffle_dataset`)."""
@@ -93,7 +95,7 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        out_q.put(_collate(samples))
+                        out_q.put(self.collate(samples))
             except Exception as e:  # surface worker errors to the consumer
                 out_q.put(e)
             finally:
@@ -144,11 +146,15 @@ def _collate(samples):
 
 def multiple_samples_collate(samples):
     """Flatten repeated-augmentation samples (`loader.py:46-71`): each sample
-    carries a leading num_aug axis; fold it into the batch."""
+    carries a leading num_aug axis; fold it into the batch.
+
+    Copy-MAJOR order ([all copy-0s | all copy-1s | ...]): the on-device
+    RandAugment splits the batch into contiguous groups for its op draws,
+    so this layout gives each copy of a clip a different op chain."""
     flat = []
-    for s in samples:
-        n = s["frames"].shape[0]
-        for i in range(n):
+    n = samples[0]["frames"].shape[0]
+    for i in range(n):
+        for s in samples:
             flat.append(
                 {
                     "frames": s["frames"][i],
@@ -184,6 +190,9 @@ def construct_loader(cfg, split, dataset=None):
 
     if dataset is None:
         dataset = build_dataset(dataset_name, cfg, split)
+    collate = None
+    if split == "train" and cfg.AUG.ENABLE and cfg.AUG.NUM_SAMPLE > 1:
+        collate = multiple_samples_collate
     return DataLoader(
         dataset,
         batch_size=batch_size,
@@ -194,4 +203,5 @@ def construct_loader(cfg, split, dataset=None):
         seed=cfg.RNG_SEED,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        collate=collate,
     )

@@ -49,7 +49,13 @@ class Synthetic:
         rng = np.random.default_rng(video_id)
         t = cfg.DATA.NUM_FRAMES
         h, w = self._crop
-        frames = rng.integers(0, 255, (t, h, w, 3), dtype=np.uint8)
+        num_aug = (
+            cfg.AUG.NUM_SAMPLE
+            if self.mode == "train" and cfg.AUG.ENABLE
+            else 1
+        )
+        shape = (t, h, w, 3) if num_aug == 1 else (num_aug, t, h, w, 3)
+        frames = rng.integers(0, 255, shape, dtype=np.uint8)
         label = int(rng.integers(0, cfg.MODEL.NUM_CLASSES))
         return {
             "frames": frames,

@@ -46,13 +46,17 @@ def make_preprocess_fn(cfg, train: bool):
     use_re = train and cfg.AUG.ENABLE and cfg.AUG.RE_PROB > 0
     ra = RandAugment(cfg.AUG.AA_TYPE) if use_ra else None
 
+    # With repeated augmentation the batch is copy-major (loader collate),
+    # so >= NUM_SAMPLE groups give each copy of a clip a different op chain.
+    ra_groups = max(2, cfg.AUG.NUM_SAMPLE)
+
     def preprocess(key, frames):
         x = frames.astype(jnp.float32)
         if ra is not None:
             k_ra, key = jax.random.split(key)
             # Batch-level op choice: per-sample switch under vmap would run
             # every branch for every sample (see RandAugment.apply_batch).
-            x = ra.apply_batch(k_ra, x)
+            x = ra.apply_batch(k_ra, x, groups=ra_groups)
         x = (x - mean) / std
         if use_re:
             k_re, key = jax.random.split(key)

@@ -126,3 +126,44 @@ def test_kinetics_pmv_test_multiview(pmv_csv_dataset):
     # Deterministic: same view twice must be identical.
     again = ds[3]
     np.testing.assert_array_equal(views[3]["frames"], again["frames"])
+
+
+def test_repeated_augmentation_collate():
+    """AUG.NUM_SAMPLE > 1: decode-once multi-crop, copy-major flatten
+    (`loader.py:46-71` multiple_samples_collate; `kinetics.py:396-401`)."""
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.MODEL.NUM_CLASSES = 10
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.AUG.ENABLE = True
+    cfg.AUG.NUM_SAMPLE = 2
+    loader = construct_loader(cfg, "train")
+    batch = next(iter(loader))
+    # batch = videos x copies, flattened copy-major.
+    assert batch["frames"].shape == (8, 2, 16, 16, 3)
+    assert batch["labels"].shape == (8,)
+    np.testing.assert_array_equal(batch["labels"][:4], batch["labels"][4:])
+    np.testing.assert_array_equal(batch["index"][:4], batch["index"][4:])
+
+
+def test_repeated_augmentation_kinetics_crops_differ(pmv_csv_dataset):
+    root, vids = pmv_csv_dataset
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.PATH_PREFIX = str(vids)
+    cfg.DATA.PM_SUBSET = "_pmv400"
+    cfg.DATA.PATH_LABEL_SEPARATOR = ","
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [40, 48]
+    cfg.AUG.ENABLE = True
+    cfg.AUG.NUM_SAMPLE = 2
+    ds = build_dataset("kinetics", cfg, "train")
+    s = ds[0]
+    assert s["frames"].shape[0] == 2  # leading copy axis
+    assert s["frames"].shape[1] == 4
+    # The two copies come from different random crops/flips.
+    assert not np.array_equal(s["frames"][0], s["frames"][1])

@@ -210,6 +210,25 @@ _C.SLOWFAST.BETA_INV = 8
 _C.SLOWFAST.ALPHA = 8
 _C.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
 _C.SLOWFAST.FUSION_KERNEL_SZ = 5
+# --- AVSlowFast audio pathway + fusion (`defaults.py:645-674`)
+_C.SLOWFAST.AU_BETA_INV = 2
+_C.SLOWFAST.AU_ALPHA = 32
+_C.SLOWFAST.AU_FUSION_CONV_CHANNEL_RATIO = 0.125
+_C.SLOWFAST.AU_FUSION_CONV_CHANNEL_DIM = 64
+_C.SLOWFAST.AU_FUSION_CONV_CHANNEL_MODE = "ByRatio"  # ByDim, ByRatio
+_C.SLOWFAST.AU_FUSION_KERNEL_SZ = 5
+_C.SLOWFAST.AU_FUSION_CONV_NUM = 2
+_C.SLOWFAST.AU_REDUCE_TF_DIM = True
+# Per-junction fusion connections (after s1..s4).
+_C.SLOWFAST.FS_FUSION = [True, True, True, True]
+_C.SLOWFAST.AFS_FUSION = [True, True, True, True]
+# Per-junction audio-visual sync loss (after s1..s5).
+_C.SLOWFAST.AVS_FLAG = [False, False, False, False, False]
+_C.SLOWFAST.AVS_PROJ_DIM = 64
+_C.SLOWFAST.AVS_VAR_THRESH = 0.01
+_C.SLOWFAST.AVS_DUPLICATE_THRESH = 0.99
+# Drop the audio->visual fusion for a step with this probability (train).
+_C.SLOWFAST.DROPPATHWAY_RATE = 0.8
 
 # ------------------------------------------------------------------------- BN
 _C.BN = CfgNode()
@@ -237,6 +256,17 @@ _C.DATA.STD = [0.225, 0.225, 0.225]
 _C.DATA.NUM_FRAMES = 8
 _C.DATA.SAMPLING_RATE = 8
 _C.DATA.TARGET_FPS = 30
+# --- audio (AVSlowFast; `defaults.py:762-782`)
+_C.DATA.USE_AUDIO = False
+_C.DATA.GET_MISALIGNED_AUDIO = False
+_C.DATA.AUDIO_SAMPLE_RATE = 16000
+_C.DATA.AUDIO_WIN_SZ = 32
+_C.DATA.AUDIO_STEP_SZ = 16
+_C.DATA.AUDIO_FRAME_NUM = 128
+_C.DATA.AUDIO_MEL_NUM = 40
+_C.DATA.AUDIO_MISALIGNED_GAP = 32
+_C.DATA.LOGMEL_MEAN = 0.0
+_C.DATA.LOGMEL_STD = 1.0
 _C.DATA.TRAIN_JITTER_SCALES = [256, 320]
 _C.DATA.TRAIN_JITTER_SCALES_RELATIVE = []
 _C.DATA.TRAIN_JITTER_ASPECT_RELATIVE = []

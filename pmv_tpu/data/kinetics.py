@@ -218,20 +218,41 @@ class Kinetics:
             size = min_scale
         out_h, out_w = video_decoder.jitter_scale_dims(H, W, size)
 
-        frames, time_frac = video_decoder.decode_clip(
-            reader,
-            cfg.DATA.SAMPLING_RATE,
-            cfg.DATA.NUM_FRAMES,
-            clip_idx=temporal_idx,
-            num_clips=(
-                cfg.TEST.NUM_ENSEMBLE_VIEWS if is_test else 1
-            ),
-            target_fps=cfg.DATA.TARGET_FPS,
-            use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
-            out_w=out_w,
-            out_h=out_h,
-            rng=rng,
+        # Contrastive multi-clip positives: V temporal windows per sample
+        # (`kinetics.py:258-276`, DATA.TRAIN_CROP_NUM_TEMPORAL).
+        num_temporal = (
+            cfg.DATA.TRAIN_CROP_NUM_TEMPORAL if self.mode == "train" else 1
         )
+        if num_temporal > 1:
+            frames, fracs = video_decoder.decode_multi_clip(
+                reader,
+                cfg.DATA.SAMPLING_RATE,
+                cfg.DATA.NUM_FRAMES,
+                num_views=num_temporal,
+                min_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MIN,
+                max_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MAX,
+                target_fps=cfg.DATA.TARGET_FPS,
+                use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                out_w=out_w,
+                out_h=out_h,
+                rng=rng,
+            )
+            time_frac = float(fracs[0])
+        else:
+            frames, time_frac = video_decoder.decode_clip(
+                reader,
+                cfg.DATA.SAMPLING_RATE,
+                cfg.DATA.NUM_FRAMES,
+                clip_idx=temporal_idx,
+                num_clips=(
+                    cfg.TEST.NUM_ENSEMBLE_VIEWS if is_test else 1
+                ),
+                target_fps=cfg.DATA.TARGET_FPS,
+                use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                out_w=out_w,
+                out_h=out_h,
+                rng=rng,
+            )
         frames = frames.astype(np.float32)
 
         # ---- crop / flip (host, cheap) -------------------------------------
@@ -255,20 +276,39 @@ class Kinetics:
                     fr = transform.horizontal_flip(0.5, fr, rng=rng)
                 return fr
 
-            # Repeated augmentation (`kinetics.py:396-401`, AUG.NUM_SAMPLE):
-            # decode once, crop/flip NUM_SAMPLE times; per-copy RandAugment
-            # diversity comes from the device-side group split (the jitter
-            # scale is shared across copies — decode-time resize; documented
-            # deviation from the reference's per-copy re-jitter).
-            num_aug = (
-                cfg.AUG.NUM_SAMPLE
-                if self.mode == "train" and cfg.AUG.ENABLE
-                else 1
+            num_spatial = (
+                cfg.DATA.TRAIN_CROP_NUM_SPATIAL if self.mode == "train" else 1
             )
-            if num_aug > 1:
-                frames = np.stack([one_crop(frames) for _ in range(num_aug)])
+            if num_temporal > 1 or num_spatial > 1:
+                # Contrastive views: independent spatial crops of each
+                # temporal clip, stacked on a leading view axis
+                # (`kinetics.py:396-401`).
+                clips = frames if num_temporal > 1 else [frames]
+                frames = np.stack(
+                    [
+                        one_crop(cl)
+                        for cl in clips
+                        for _ in range(num_spatial)
+                    ]
+                )
             else:
-                frames = one_crop(frames)
+                # Repeated augmentation (`kinetics.py:396-401`,
+                # AUG.NUM_SAMPLE): decode once, crop/flip NUM_SAMPLE times;
+                # per-copy RandAugment diversity comes from the device-side
+                # group split (the jitter scale is shared across copies —
+                # decode-time resize; documented deviation from the
+                # reference's per-copy re-jitter).
+                num_aug = (
+                    cfg.AUG.NUM_SAMPLE
+                    if self.mode == "train" and cfg.AUG.ENABLE
+                    else 1
+                )
+                if num_aug > 1:
+                    frames = np.stack(
+                        [one_crop(frames) for _ in range(num_aug)]
+                    )
+                else:
+                    frames = one_crop(frames)
         elif spatial_idx == -2:
             ratio = list(
                 cfg.TEST.SPATIAL_SAMPLE_RATIO if is_test

@@ -191,7 +191,17 @@ def construct_loader(cfg, split, dataset=None):
     if dataset is None:
         dataset = build_dataset(dataset_name, cfg, split)
     collate = None
-    if split == "train" and cfg.AUG.ENABLE and cfg.AUG.NUM_SAMPLE > 1:
+    multi_view = (
+        cfg.DATA.TRAIN_CROP_NUM_TEMPORAL > 1
+        or cfg.DATA.TRAIN_CROP_NUM_SPATIAL > 1
+    )
+    if (
+        split == "train" and cfg.AUG.ENABLE and cfg.AUG.NUM_SAMPLE > 1
+        and not multi_view
+    ):
+        # Repeated-aug copies flatten into the batch; contrastive multi-clip
+        # VIEWS instead keep their leading axis ([B, V, T, H, W, C]) for the
+        # SSL step to pair up.
         collate = multiple_samples_collate
     return DataLoader(
         dataset,

@@ -37,6 +37,18 @@ class Synthetic:
     def __len__(self):
         return self._num_videos * self._num_clips
 
+    def _label_of(self, video_id):
+        return int(
+            np.random.default_rng((video_id, 1)).integers(
+                0, self.cfg.MODEL.NUM_CLASSES
+            )
+        )
+
+    @property
+    def _labels(self):
+        # Per-sample labels (used by the SSL kNN monitor's bank lookup).
+        return [self._label_of(i // self._num_clips) for i in range(len(self))]
+
     @property
     def num_videos(self):
         return len(self)
@@ -56,7 +68,7 @@ class Synthetic:
         )
         shape = (t, h, w, 3) if num_aug == 1 else (num_aug, t, h, w, 3)
         frames = rng.integers(0, 255, shape, dtype=np.uint8)
-        label = int(rng.integers(0, cfg.MODEL.NUM_CLASSES))
+        label = self._label_of(video_id)
         return {
             "frames": frames,
             "label": label,

@@ -134,6 +134,22 @@ def init_masked_state(cfg, model, example_batch, rng, tx=None):
     ), tx
 
 
+def make_ssl_feature_step(cfg, model):
+    """Jitted eval-mode feature extraction for the kNN monitor
+    (`contrastive.py` KNN eval; features are L2-normalized like the bank)."""
+    preprocess = sup_steps.make_preprocess_fn(cfg, train=False)
+
+    def feature_step(state: SSLTrainState, frames):
+        x = preprocess(None, frames)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        z = model.apply(variables, x, train=False).astype(jnp.float32)
+        return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+
+    return feature_step
+
+
 def make_ssl_train_step(cfg, model, tx):
     ssl_type = cfg.CONTRASTIVE.TYPE
     temperature = cfg.CONTRASTIVE.T
@@ -156,8 +172,16 @@ def make_ssl_train_step(cfg, model, tx):
         frames = batch["frames"]
         indices = batch["index"]
         k1, k2 = jax.random.split(jax.random.fold_in(rng, state.step))
-        view1 = preprocess(k1, frames)
-        view2 = preprocess(k2, frames)
+        if frames.ndim == 6:
+            # Multi-clip positives from the host decoder ([B, V, T, H, W, C],
+            # DATA.TRAIN_CROP_NUM_TEMPORAL/SPATIAL): distinct temporal /
+            # spatial views, each further device-augmented.
+            f1 = frames[:, 0]
+            f2 = frames[:, 1 % frames.shape[1]]
+        else:
+            f1 = f2 = frames
+        view1 = preprocess(k1, f1)
+        view2 = preprocess(k2, f2)
 
         def loss_fn(trainable):
             params = trainable["online"]

@@ -12,6 +12,7 @@ from pmv_tpu.models import build_model
 from pmv_tpu.parallel import mesh as mesh_lib
 from pmv_tpu.utils import checkpoint as cu
 from pmv_tpu.utils import logging as pmv_logging
+from pmv_tpu.utils import misc
 from pmv_tpu.utils import meters as meters_mod
 from pmv_tpu.utils.lr_policy import get_lr_at_epoch
 
@@ -50,6 +51,41 @@ def train_ssl(cfg):
         start_epoch = epoch + 1
         logger.info("Resumed SSL training from %s", last)
 
+    # kNN monitor (`contrastive.py` KNN eval): labels of the bank rows are
+    # the train-set labels at the matching sample indices.
+    knn_on = cfg.CONTRASTIVE.KNN_ON and state.bank is not None
+    bank_labels = None
+    if knn_on:
+        labels = getattr(train_loader.dataset, "_labels", None)
+        if labels is None:
+            logger.warning("dataset exposes no _labels; kNN eval disabled")
+            knn_on = False
+        else:
+            bank_labels = jax.numpy.asarray(np.asarray(labels))
+    if knn_on:
+        from pmv_tpu.models import contrastive as cm
+
+        val_loader = loader_mod.construct_loader(cfg, "val")
+        feature_step = jax.jit(ssl_steps.make_ssl_feature_step(cfg, model))
+
+        def knn_eval(state, cur_epoch):
+            top1, seen = 0, 0
+            for batch in val_loader:
+                feats = feature_step(state, jax.numpy.asarray(batch["frames"]))
+                scores = cm.knn_predict(
+                    state.bank, bank_labels, feats, cfg.MODEL.NUM_CLASSES,
+                    k=min(200, state.bank.shape[0]),
+                )
+                pred = np.asarray(jax.numpy.argmax(scores, axis=-1))
+                top1 += int((pred == batch["labels"]).sum())
+                seen += len(pred)
+            acc = 100.0 * top1 / max(seen, 1)
+            pmv_logging.log_json_stats(
+                {"_type": "ssl_knn_epoch", "epoch": cur_epoch,
+                 "knn_top1_acc": round(acc, 2)}
+            )
+            return acc
+
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         train_loader.set_epoch(cur_epoch)
         data_size = len(train_loader)
@@ -76,4 +112,6 @@ def train_ssl(cfg):
         meter.reset()
         if cu.is_checkpoint_epoch(cfg, cur_epoch) and jax.process_index() == 0:
             cu.save_checkpoint(cfg.OUTPUT_DIR, state, cur_epoch, cfg)
+        if knn_on and misc.is_eval_epoch(cfg, cur_epoch):
+            knn_eval(state, cur_epoch)
     return state

@@ -70,11 +70,12 @@ def make_preprocess_fn(cfg, train: bool):
     return preprocess
 
 
-def pack_pathways(cfg, x, audio=None):
+def pack_pathways(cfg, x, audio=None, audio_mis=None):
     """Single tensor -> per-pathway list (`datasets/utils.py` pack_pathway_output).
 
     SlowFast: slow = stride-alpha temporal subsample, fast = full.
-    AVSlowFast additionally appends the log-mel audio clip.
+    AVSlowFast additionally appends the log-mel audio clip (and the
+    misaligned clip for the AVS sync loss, when provided).
     """
     if cfg.MODEL.ARCH in cfg.MODEL.SINGLE_PATHWAY_ARCH:
         return [x]
@@ -83,6 +84,8 @@ def pack_pathways(cfg, x, audio=None):
         slow = x[:, :: alpha]
         if cfg.MODEL.ARCH == "avslowfast":
             assert audio is not None, "avslowfast needs batch['audio']"
+            if audio_mis is not None:
+                return [slow, x, audio, audio_mis]
             return [slow, x, audio]
         return [slow, x]
     raise NotImplementedError(f"arch {cfg.MODEL.ARCH}")
@@ -127,7 +130,10 @@ def make_train_step(cfg, model, tx, model_pm=None):
             )
         else:
             targets = labels
-        inputs = pack_pathways(cfg, x, audio=batch.get("audio"))
+        inputs = pack_pathways(
+            cfg, x, audio=batch.get("audio"),
+            audio_mis=batch.get("audio_mis"),
+        )
         if len(inputs) == 1:
             inputs = inputs[0]
 
@@ -148,14 +154,23 @@ def make_train_step(cfg, model, tx, model_pm=None):
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             preds, new_stats = apply_model(model, variables, inputs)
+            aux_losses = {}
+            if isinstance(preds, tuple):
+                # AVSlowFast with misaligned audio returns per-junction AVS
+                # sync losses (`train_net.py` adds them to the task loss).
+                preds, aux_losses = preds
             if model_pm is not None:
                 x_t = jnp.swapaxes(x, 2, 3)
                 inputs_t = pack_pathways(cfg, x_t)
                 it = inputs_t[0] if len(inputs_t) == 1 else inputs_t
                 preds_pm, _ = apply_model(model_pm, variables, it)
+                if isinstance(preds_pm, tuple):
+                    preds_pm = preds_pm[0]
                 pm = batch["pm"]
                 preds = jnp.where(pm[:, None], preds_pm, preds)
             loss = loss_fun(preds.astype(jnp.float32), targets)
+            for v in aux_losses.values():
+                loss = loss + v
             return loss, (preds, new_stats)
 
         (loss, (preds, new_stats)), grads = jax.value_and_grad(

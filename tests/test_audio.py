@@ -102,3 +102,64 @@ def test_avs_loss():
     loss_good = avs_loss(v, v, jax.random.normal(jax.random.PRNGKey(1), (4, 16)))
     loss_bad = avs_loss(v, jax.random.normal(jax.random.PRNGKey(2), (4, 16)), v)
     assert float(loss_good) < float(loss_bad)
+
+
+def test_avslowfast_avs_misaligned_train():
+    """Misaligned audio -> per-junction AVS losses + DropPathway gating
+    (`video_model_builder.py:879-996`)."""
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AVSlowFast"
+    cfg.MODEL.ARCH = "avslowfast"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.DATA.GET_MISALIGNED_AUDIO = True
+    cfg.SLOWFAST.AVS_FLAG = [False, False, True, True, True]
+    cfg.SLOWFAST.AFS_FUSION = [False, False, False, True]
+    model = build_model(cfg, dtype=jnp.float32)
+    slow = jnp.zeros((2, 2, 32, 32, 3))
+    fast = jnp.zeros((2, 8, 32, 32, 3))
+    audio = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 40))
+    audio_mis = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 40))
+    inputs = [slow, fast, audio, audio_mis]
+    variables = model.init(
+        jax.random.PRNGKey(0), inputs, train=True,
+    )
+    out, aux = model.apply(
+        variables, inputs, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )[0]
+    assert out.shape == (2, 5)
+    # AVS at junctions s3 (idx 2), s4 (idx 3) and s5 (idx 4).
+    assert set(aux) == {"s3_avs", "s4_avs", "s5_avs"}
+    for v in aux.values():
+        assert jnp.isfinite(v)
+    # Eval path (no misaligned audio): plain logits.
+    out_eval = model.apply(variables, [slow, fast, audio], train=False)
+    assert out_eval.shape == (2, 5)
+
+
+def test_avslowfast_fs_fusion_flags():
+    """FS_FUSION gates the fast->slow concat per stage."""
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AVSlowFast"
+    cfg.MODEL.ARCH = "avslowfast"
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.SLOWFAST.FS_FUSION = [True, False, True, False]
+    cfg.SLOWFAST.AFS_FUSION = [False, True, False, False]
+    model = build_model(cfg, dtype=jnp.float32)
+    slow = jnp.zeros((1, 2, 32, 32, 3))
+    fast = jnp.zeros((1, 8, 32, 32, 3))
+    audio = jnp.zeros((1, 128, 40))
+    variables = model.init(
+        jax.random.PRNGKey(0), [slow, fast, audio], train=False
+    )
+    out = model.apply(variables, [slow, fast, audio], train=False)
+    assert out.shape == (1, 3)

@@ -91,3 +91,45 @@ def test_ssl_train_step(ssl_type):
             state.params, state.momentum_params,
         )
         assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_ssl_multiclip_views_step():
+    """[B, V, T, H, W, C] multi-clip batches: views pair up per clip
+    (`kinetics.py:258-276` TRAIN_CROP_NUM_TEMPORAL)."""
+    cfg = _ssl_cfg("simclr")
+    model = build_model(cfg, dtype=jnp.float32)
+    rng_np = np.random.default_rng(1)
+    batch = {
+        "frames": jnp.asarray(
+            rng_np.integers(0, 255, (4, 2, 2, 16, 16, 3), dtype=np.uint8)
+        ),
+        "index": jnp.asarray(rng_np.integers(0, 64, (4,), dtype=np.int64)),
+    }
+    rng = jax.random.PRNGKey(0)
+    state, tx = ssl_steps.init_ssl_state(
+        cfg, model, {"frames": batch["frames"][:, 0], "index": batch["index"]},
+        rng,
+    )
+    step = jax.jit(ssl_steps.make_ssl_train_step(cfg, model, tx))
+    state, metrics = step(state, batch, rng, 1e-3)
+    assert not bool(metrics["nan"])
+
+
+def test_knn_feature_step_and_predict():
+    from pmv_tpu.models import contrastive as cm
+
+    cfg = _ssl_cfg("mem")
+    cfg.CONTRASTIVE.KNN_ON = True
+    model = build_model(cfg, dtype=jnp.float32)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    state, tx = ssl_steps.init_ssl_state(cfg, model, batch, rng)
+    feature_step = jax.jit(ssl_steps.make_ssl_feature_step(cfg, model))
+    feats = feature_step(state, batch["frames"])
+    assert feats.shape == (4, cfg.CONTRASTIVE.DIM)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(feats), axis=-1), 1.0, atol=1e-5
+    )
+    labels = jnp.asarray(np.arange(64) % 5)
+    scores = cm.knn_predict(state.bank + 1e-3, labels, feats, 5, k=8)
+    assert scores.shape == (4, 5)

@@ -167,3 +167,26 @@ def test_repeated_augmentation_kinetics_crops_differ(pmv_csv_dataset):
     assert s["frames"].shape[1] == 4
     # The two copies come from different random crops/flips.
     assert not np.array_equal(s["frames"][0], s["frames"][1])
+
+
+def test_multiclip_decode(pmv_csv_dataset):
+    from pmv_tpu.data.build import build_dataset
+
+    root, vids = pmv_csv_dataset
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.PATH_PREFIX = str(vids)
+    cfg.DATA.PM_SUBSET = "_pmv400"
+    cfg.DATA.PATH_LABEL_SEPARATOR = ","
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [40, 48]
+    cfg.DATA.TRAIN_CROP_NUM_TEMPORAL = 2
+    cfg.DATA.TRAIN_CROP_NUM_SPATIAL = 2
+    import pmv_tpu.data.kinetics  # noqa: F401
+
+    ds = build_dataset("kinetics", cfg, "train")
+    s = ds[0]
+    # 2 temporal clips x 2 spatial crops.
+    assert s["frames"].shape == (4, 4, 32, 32, 3)

@@ -144,10 +144,6 @@ def train(cfg):
 
         multigrid = MultigridSchedule()
         cfg = multigrid.init_multigrid(cfg)
-        if cfg.MULTIGRID.LONG_CYCLE:
-            # BN-type swaps on batch-size changes are not yet supported (the
-            # param tree must stay fixed); plain/sync BN works across sizes.
-            logger.info("Multigrid long cycle active; BN type stays fixed.")
 
     mesh = mesh_lib.create_mesh(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
@@ -205,10 +201,36 @@ def train(cfg):
         if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
             cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
             if changed:
-                # New base shape: rebuild loaders; the jitted steps
-                # re-specialize on the new input shapes automatically.
+                # New base shape: rebuild loaders and — because the BN type
+                # follows the batch size (`multigrid.py:91-97`) — the model
+                # and jitted steps; the state transfers through the BN
+                # converter (reference build_trainer + checkpoint reload,
+                # `train_net.py:687-711`).
                 train_loader = loader_mod.construct_loader(cfg, "train")
                 train_meter = meters_mod.TrainMeter(len(train_loader), cfg)
+                model = build_model(cfg)
+                if needs_pm:
+                    model_port = build_model(cfg, hw_switch=True)
+                example = next(iter(train_loader))
+                template, tx = steps.init_state(
+                    cfg, model,
+                    {"frames": example["frames"], "labels": example["labels"]},
+                    rng,
+                )
+                state = cu.adapt_state_across_bn(state, template)
+                state = mesh_lib.replicate(state, mesh)
+                train_step = jax.jit(steps.make_train_step(cfg, model, tx))
+                train_step_pm = (
+                    jax.jit(steps.make_train_step(
+                        cfg, model, tx, model_pm=model_port))
+                    if needs_pm
+                    else train_step
+                )
+                eval_step = jax.jit(steps.make_eval_step(cfg, model))
+                if needs_pm:
+                    eval_step_pm = jax.jit(
+                        _make_pm_eval_step(cfg, model, model_port)
+                    )
         train_loader.set_epoch(cur_epoch)
         epoch_timer.epoch_tic()
         state = train_epoch(

@@ -13,6 +13,7 @@ torch BN defaults: eps=1e-5, momentum=0.1 (flax momentum = 1 - 0.1 = 0.9).
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -56,35 +57,46 @@ class SubBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, use_running_average=True):
         c = x.shape[-1]
+        s = self.num_splits
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        bn = nn.BatchNorm(
-            use_running_average=use_running_average,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            dtype=self.dtype,
-            use_scale=False,
-            use_bias=False,
-            name="split_bn",
+        # Per-split running stats, stored flat [S*C] (the reference's
+        # split_bn with num_features * num_splits).
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((s * c,), jnp.float32)
         )
-        if use_running_average or self.num_splits == 1:
-            out = bn(x)
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((s * c,), jnp.float32)
+        )
+        x32 = x.astype(jnp.float32)
+        if use_running_average:
+            # `aggregate_sub_bn_stats` (utils/misc.py:411-428): eval uses the
+            # split-mean of means and the law-of-total-variance variance.
+            m = ra_mean.value.reshape(s, c)
+            v = ra_var.value.reshape(s, c)
+            mean = m.mean(axis=0)
+            var = (v + m ** 2).mean(axis=0) - mean ** 2
+            out = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         else:
             b = x.shape[0]
-            assert b % self.num_splits == 0, (
-                f"batch {b} not divisible by num_splits {self.num_splits}"
+            assert b % s == 0, (
+                f"batch {b} not divisible by num_splits {s}"
             )
-            # [S*B', ...] -> [B', ..., S*C]: per-split statistics.
-            xs = x.reshape((self.num_splits, b // self.num_splits) + x.shape[1:])
-            xs = jnp.moveaxis(xs, 0, -2).reshape(
-                (b // self.num_splits,) + x.shape[1:-1] + (self.num_splits * c,)
+            xs = x32.reshape((s, b // s) + x.shape[1:])
+            axes = tuple(range(1, xs.ndim - 1))
+            mean_s = xs.mean(axis=axes)  # [S, C]
+            var_s = xs.var(axis=axes)  # [S, C]
+            bshape = (s,) + (1,) * (xs.ndim - 2) + (c,)
+            out = (xs - mean_s.reshape(bshape)) * jax.lax.rsqrt(
+                var_s.reshape(bshape) + self.epsilon
             )
-            out = bn(xs)
-            out = out.reshape(
-                (b // self.num_splits,) + x.shape[1:-1] + (self.num_splits, c)
-            )
-            out = jnp.moveaxis(out, -2, 0).reshape(x.shape)
-        return out * scale + bias
+            out = out.reshape(x.shape)
+            if self.is_mutable_collection("batch_stats"):
+                mom = self.momentum
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * mean_s.reshape(-1)
+                ra_var.value = mom * ra_var.value + (1 - mom) * var_s.reshape(-1)
+        out = out.astype(self.dtype) * scale + bias
+        return out.astype(x.dtype)
 
 
 def get_norm(cfg):
@@ -93,7 +105,11 @@ def get_norm(cfg):
     if norm_type == "batchnorm":
         return lambda **kw: BatchNorm(**kw)
     if norm_type == "sync_batchnorm":
-        return lambda **kw: BatchNorm(axis_name="data", **kw)
+        # Single-controller jit computes batch statistics over the GLOBAL
+        # (mesh-sharded) batch — XLA inserts the cross-chip reduction — so
+        # NaiveSyncBatchNorm semantics come for free; a separate axis_name
+        # pathway is only needed under shard_map/pmap.
+        return lambda **kw: BatchNorm(**kw)
     if norm_type == "sub_batchnorm":
         return lambda **kw: SubBatchNorm(num_splits=cfg.BN.NUM_SPLITS, **kw)
     raise NotImplementedError(f"Norm type {norm_type} is not supported")

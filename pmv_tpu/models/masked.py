@@ -91,17 +91,42 @@ class MaskMViT(nn.Module):
             thresh = jnp.sort(scores, axis=1)[:, k : k + 1]
             mask = scores < thresh
 
-        # HOG targets on the patch grid: cell size = spatial patch stride,
-        # averaged over the frames inside each temporal patch.
-        hog = hog_targets(
-            x.astype(jnp.float32), nbins=cfg.MASK.HOG_NBINS,
-            cell_sz=patch_h,
-        )
-        bt = hog.shape[1]
-        hog = hog.reshape(
-            b, t_tok, bt // t_tok, h_tok, w_tok, hog.shape[-1]
-        ).mean(axis=2)
-        target = hog.reshape(b, n_tok, -1)
+        if cfg.MASK.PRED_HOG:
+            # HOG targets on the patch grid: cell size = spatial patch
+            # stride, averaged over the frames inside each temporal patch.
+            hog = hog_targets(
+                x.astype(jnp.float32), nbins=cfg.MASK.HOG_NBINS,
+                cell_sz=patch_h,
+            )
+            bt = hog.shape[1]
+            hog = hog.reshape(
+                b, t_tok, bt // t_tok, h_tok, w_tok, hog.shape[-1]
+            ).mean(axis=2)
+            target = hog.reshape(b, n_tok, -1)
+        else:
+            # MAE-style pixel targets (`masked.py:219-243`
+            # _get_pixel_label_3d): one frame per temporal patch when
+            # TIME_STRIDE_LOSS, per-patch mean/var normalization when
+            # NORM_PRED_PIXEL.
+            frames_t = (
+                x[:, ::patch_t] if cfg.MASK.TIME_STRIDE_LOSS
+                else x
+            ).astype(jnp.float32)
+            tt = frames_t.shape[1]
+            pt = 1 if cfg.MASK.TIME_STRIDE_LOSS else patch_t
+            patches = frames_t[:, :, : h_tok * patch_h, : w_tok * patch_w]
+            patches = patches.reshape(
+                b, tt // pt, pt, h_tok, patch_h, w_tok, patch_w, -1
+            )
+            # [B, t_tok, h_tok, w_tok, pt*ph*pw*C]
+            patches = patches.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                b, n_tok, -1
+            )
+            if cfg.MASK.NORM_PRED_PIXEL:
+                mean = patches.mean(axis=-1, keepdims=True)
+                var = patches.var(axis=-1, keepdims=True)
+                patches = (patches - mean) / jnp.sqrt(var + 1e-6)
+            target = patches
 
         # Backbone with mask-token substitution right after patch embed: we
         # mask the *input pixels* of masked patches instead of patch tokens
@@ -137,6 +162,32 @@ class MaskMViT(nn.Module):
                 method="nearest",
             )
             feats = grid.reshape(b, n_tok, -1)
+        if cfg.MASK.DEC_DEPTH > 0:
+            # Decoder stack (`masked.py:78-120`): project to the decoder
+            # width, add a learned decoder pos embed, run plain transformer
+            # blocks over the full token grid (mask tokens already carry the
+            # masked positions — SimMIM-style dense decoding; the token grid
+            # is static, no gather/scatter).
+            from pmv_tpu.models.attention import MultiScaleBlock
+
+            dec_dim = cfg.MASK.DEC_EMBED_DIM
+            feats = nn.Dense(
+                dec_dim, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name="decoder_embed",
+            )(feats)
+            dec_pos = self.param(
+                "decoder_pos_embed", trunc_normal_init(0.02),
+                (1, n_tok, dec_dim),
+            )
+            feats = feats + dec_pos.astype(feats.dtype)
+            thw_dec = (t_tok, h_tok, w_tok)
+            for i in range(cfg.MASK.DEC_DEPTH):
+                feats, thw_dec = MultiScaleBlock(
+                    dim=dec_dim, dim_out=dec_dim,
+                    num_heads=cfg.MASK.DEC_NUM_HEADS,
+                    input_size=thw_dec, has_cls_embed=False,
+                    dtype=self.dtype, name=f"decoder_blocks.{i}",
+                )(feats, thw_dec, not train)
         pred = MSSeparateHead(
             out_dim=target.shape[-1], dtype=self.dtype, name="pred_head"
         )(feats)

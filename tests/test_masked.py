@@ -23,6 +23,7 @@ def _cfg():
     cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
     cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1]]
     cfg.AUG.MASK_RATIO = 0.5
+    cfg.MASK.PRED_HOG = True  # MaskFeat targets (pixel MAE tested separately)
     return cfg
 
 
@@ -100,3 +101,31 @@ def test_maskmvit_trains():
         params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(5))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_maskmvit_pixel_targets_and_decoder():
+    """MAE-style pixel targets (TIME_STRIDE_LOSS + NORM_PRED_PIXEL) and the
+    DEC_DEPTH decoder stack (`masked.py:78-120,219-243`)."""
+    cfg = _cfg()
+    cfg.MASK.PRED_HOG = False
+    cfg.MASK.DEC_DEPTH = 1
+    cfg.MASK.DEC_EMBED_DIM = 16
+    model = MaskMViT(cfg=freeze_cfg(cfg), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
+        x, train=False,
+    )
+    pred, target, mask = model.apply(
+        variables, x, train=False, rngs={"mask": jax.random.PRNGKey(2)}
+    )
+    n_tok = 2 * 8 * 8
+    # One frame per temporal patch (stride 2), 4x4 spatial patch, 3 ch.
+    assert pred.shape == (2, n_tok, 48)
+    assert target.shape == (2, n_tok, 48)
+    # Per-patch normalization: ~zero mean, ~unit variance.
+    assert abs(float(target.mean())) < 1e-4
+    assert abs(float(target.var(axis=-1).mean()) - 1.0) < 0.1
+    assert "decoder_blocks.0" in variables["params"]
+    loss = masked_loss(pred, target, mask)
+    assert float(loss) > 0

@@ -64,3 +64,67 @@ def test_short_cycle_crop_sizes():
     assert sizes[2] == 224 and sizes[5] == 224
     assert sizes[0] == int(round(224 * 0.5))
     assert sizes[1] == int(round(224 * 0.7071067811865476))
+
+
+def test_bn_swap_state_adaptation():
+    """Long-cycle BN-type swap: state transfers across batchnorm <->
+    sub_batchnorm rebuilds (`train_net.py:687-711` build_trainer +
+    `checkpoint.py:565-666` sub/normal BN conversion)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmv_tpu.engine import steps
+    from pmv_tpu.models import build_model
+    from pmv_tpu.utils import checkpoint as cu
+
+    def cfg_with(norm_type, splits):
+        cfg = get_cfg()
+        cfg.MODEL.MODEL_NAME = "X3D"
+        cfg.MODEL.ARCH = "x3d"
+        cfg.MODEL.NUM_CLASSES = 4
+        cfg.RESNET.TRANS_FUNC = "x3d_transform"
+        cfg.X3D.DIM_C1 = 4
+        cfg.X3D.DEPTH_FACTOR = 0.2
+        cfg.X3D.DIM_C5 = 16
+        cfg.DATA.NUM_FRAMES = 2
+        cfg.DATA.TRAIN_CROP_SIZE = 16
+        cfg.BN.NORM_TYPE = norm_type
+        cfg.BN.NUM_SPLITS = splits
+        cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+        return cfg
+
+    rng = jax.random.PRNGKey(0)
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(
+            rng_np.integers(0, 255, (4, 2, 16, 16, 3), dtype=np.uint8)
+        ),
+        "labels": jnp.asarray(rng_np.integers(0, 4, (4,), dtype=np.int64)),
+    }
+    cfg_a = cfg_with("batchnorm", 1)
+    model_a = build_model(cfg_a, dtype=jnp.float32)
+    state, tx_a = steps.init_state(cfg_a, model_a, batch, rng)
+    step_a = jax.jit(steps.make_train_step(cfg_a, model_a, tx_a))
+    state, m = step_a(state, batch, rng, 1e-3)
+    assert not bool(m["nan"])
+
+    # Swap to sub-BN (bigger batch phase of the long cycle).
+    cfg_b = cfg_with("sub_batchnorm", 2)
+    model_b = build_model(cfg_b, dtype=jnp.float32)
+    template, tx_b = steps.init_state(cfg_b, model_b, batch, rng)
+    state_b = cu.adapt_state_across_bn(state, template)
+    # Params carried over verbatim.
+    a_leaves = jax.tree_util.tree_leaves(state.params)
+    b_leaves = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    step_b = jax.jit(steps.make_train_step(cfg_b, model_b, tx_b))
+    state_b, m = step_b(state_b, batch, rng, 1e-3)
+    assert not bool(m["nan"])
+
+    # And back (smaller batch phase).
+    template_a, _ = steps.init_state(cfg_a, model_a, batch, rng)
+    state_a = cu.adapt_state_across_bn(state_b, template_a)
+    state_a, m = step_a(state_a, batch, rng, 1e-3)
+    assert not bool(m["nan"])

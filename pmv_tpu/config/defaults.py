@@ -92,6 +92,7 @@ _C.MODEL.ZERO_INIT_FINAL_BN = False
 _C.MODEL.ZERO_INIT_FINAL_CONV = False
 _C.MODEL.SINGLE_PATHWAY_ARCH = [
     "2d", "c2d", "i3d", "slow", "x3d", "mvit", "maskmvit", "uniformer",
+    "csn", "r2plus1d",
 ]
 _C.MODEL.MULTI_PATHWAY_ARCH = ["slowfast", "avslowfast"]
 _C.MODEL.ACT_CHECKPOINT = False  # remat MViT blocks via jax.checkpoint

@@ -184,6 +184,85 @@ class Ssv2(_FrameListBase):
         return self._sample_and_pack(frames, index, self._labels[index], rng)
 
 
+@DATASET_REGISTRY.register(name="Sth")
+class Sth(_FrameListBase):
+    """Something-Something V1, UniFormer flavor
+    (`Uniformer/slowfast/datasets/sth.py:25-376`): space-separated rows
+    `dir num_frames label` named by `DATA.LABEL_PATH_TEMPLATE.format(split)`
+    (split is "train"/"validation"); frames are per-video JPEG directories
+    addressed by `DATA.IMAGE_TEMPLATE` with 1-based indices; TSN-style
+    segment sampling whose test position depends on the ensemble view
+    (`sth.py:134-161`)."""
+
+    def __init__(self, cfg, mode):
+        super().__init__(cfg, mode)
+        split = "train" if mode == "train" else "validation"
+        path_to_file = os.path.join(
+            cfg.DATA.PATH_TO_DATA_DIR,
+            cfg.DATA.LABEL_PATH_TEMPLATE.format(split),
+        )
+        self._path_to_videos = []
+        self._num_frames = []
+        self._labels = []
+        with open(path_to_file) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 3:
+                    continue
+                for _ in range(self._num_clips):
+                    self._path_to_videos.append(
+                        os.path.join(cfg.DATA.PATH_PREFIX, parts[0])
+                    )
+                    self._num_frames.append(int(parts[1]))
+                    self._labels.append(int(parts[2]))
+        self._spatial_temporal_idx = [
+            i % self._num_clips for i in range(len(self._labels))
+        ]
+        logger.info("Constructed Sth %s: %d clips", mode, len(self._labels))
+
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    @property
+    def num_videos(self):
+        return len(self)
+
+    def _seq_frames(self, index, rng):
+        """Segment sampling (`sth.py:134-161`): train picks a random frame
+        per segment; test picks a view-dependent deterministic position."""
+        cfg = self.cfg
+        num_frames = cfg.DATA.NUM_FRAMES
+        video_length = self._num_frames[index]
+        seg_size = float(video_length - 1) / num_frames
+        seq = []
+        if self.mode in ["train", "val"]:
+            for i in range(num_frames):
+                start = int(np.round(seg_size * i))
+                end = int(np.round(seg_size * (i + 1)))
+                seq.append(int(rng.integers(start, end + 1)))
+        else:
+            t_idx = (
+                self._spatial_temporal_idx[index]
+                // cfg.TEST.NUM_SPATIAL_CROPS
+            )
+            duration = seg_size / (cfg.TEST.NUM_ENSEMBLE_VIEWS + 1)
+            for i in range(num_frames):
+                start = int(np.round(seg_size * i))
+                seq.append(start + int(duration * (t_idx + 1)))
+        return [min(max(i, 0), video_length - 1) for i in seq]
+
+    def __getitem__(self, index):
+        rng = np.random.default_rng()
+        seq = self._seq_frames(index, rng)
+        template = os.path.join(
+            self._path_to_videos[index], self.cfg.DATA.IMAGE_TEMPLATE
+        )
+        # The reference formats the raw segment indices into IMAGE_TEMPLATE
+        # (`sth.py:229-237`); frame dumps are expected to match that naming.
+        frames = _load_jpeg_frames([template.format(i) for i in seq])
+        return self._sample_and_pack(frames, index, self._labels[index], rng)
+
+
 @DATASET_REGISTRY.register(name="Charades")
 class Charades(_FrameListBase):
     """Charades (`charades.py`): frame lists with per-frame multi-labels;

@@ -113,6 +113,14 @@ def load_train_checkpoint(cfg, state):
             )
             state = state.replace(params=params)
             return state, 0
+        if cfg.TRAIN.CHECKPOINT_TYPE == "caffe2":
+            from pmv_tpu.utils import c2_import
+
+            params = c2_import.load_c2_checkpoint_params(
+                cfg.TRAIN.CHECKPOINT_FILE_PATH, cfg, state.params
+            )
+            state = state.replace(params=params)
+            return state, 0
         state, epoch = load_checkpoint(cfg.TRAIN.CHECKPOINT_FILE_PATH, state)
         if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
             return state, 0
@@ -124,6 +132,13 @@ def load_test_checkpoint(cfg, state):
     """Test-time checkpoint priority chain (`checkpoint.py:667-704`)."""
     if cfg.TEST.CHECKPOINT_FILE_PATH:
         path = cfg.TEST.CHECKPOINT_FILE_PATH
+        if cfg.TEST.CHECKPOINT_TYPE == "caffe2":
+            from pmv_tpu.utils import c2_import
+
+            params = c2_import.load_c2_checkpoint_params(
+                path, cfg, state.params
+            )
+            return state.replace(params=params)
         if cfg.TEST.CHECKPOINT_TYPE == "pytorch" or path.endswith(
             (".pyth", ".pth", ".pt")
         ):

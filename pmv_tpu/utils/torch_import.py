@@ -19,6 +19,8 @@ qkv/kernel" -> "blocks.3.attn.qkv.weight"); the exceptions (MViT pool norms)
 are handled explicitly.
 """
 
+import re
+
 import numpy as np
 
 from pmv_tpu.utils import logging as pmv_logging
@@ -52,6 +54,23 @@ def _flax_path_to_torch(path_names):
                 i += 2
                 continue
             out.append(m)
+            i += 1
+            continue
+        # ResNet-family stages: reference ResStage registers children as
+        # "pathway{P}_res{i}" / "pathway{P}_nonlocal{i}"
+        # (`resnet_helper.py:688,698`), so our nested
+        # "sK.pathwayP"/"resI" path joins with an underscore.
+        if (
+            out
+            and re.fullmatch(r"s\d+\.pathway\d+", out[-1])
+            and re.fullmatch(r"(res|nonlocal)\d+", m)
+        ):
+            out[-1] = out[-1] + "_" + m
+            i += 1
+            continue
+        # Our BatchNorm wrapper delegates to an anonymous inner
+        # flax nn.BatchNorm ("BatchNorm_0"); torch has no such level.
+        if re.fullmatch(r"BatchNorm_\d+", m):
             i += 1
             continue
         # flax BatchNorm running stats live under .../bn/batch_stats paths

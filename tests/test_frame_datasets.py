@@ -100,3 +100,40 @@ def test_imagenet_dataset(tmp_path):
     s = ds[0]
     assert s["frames"].shape == (1, 16, 16, 3)
     assert s["label"] == 3
+
+
+def test_sth_dataset(tmp_path):
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for vid, n in (("vidA", 10), ("vidB", 14)):
+        _write_frames(frames_dir, vid, n)
+    (tmp_path / "somesomev1_rgb_train_split.txt").write_text(
+        "vidA 10 0\nvidB 14 1\n"
+    )
+    (tmp_path / "somesomev1_rgb_validation_split.txt").write_text(
+        "vidA 10 0\nvidB 14 1\n"
+    )
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = str(frames_dir)
+    cfg.DATA.LABEL_PATH_TEMPLATE = "somesomev1_rgb_{}_split.txt"
+    cfg.DATA.IMAGE_TEMPLATE = "{:05d}.jpg"
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.DATA.TRAIN_JITTER_SCALES = [18, 20]
+    ds = build_dataset("sth", cfg, "train")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["frames"].shape == (4, 16, 16, 3)
+    assert s["label"] == 0
+
+    # Test mode: deterministic per-view segment positions, multi-view unroll.
+    cfg.DATA.TEST_CROP_SIZE = 16
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    ds_t = build_dataset("sth", cfg, "test")
+    assert len(ds_t) == 4
+    a = ds_t[0]["frames"]
+    b = ds_t[1]["frames"]
+    assert a.shape == (4, 16, 16, 3)
+    assert not np.array_equal(a, b)  # different ensemble views

@@ -230,3 +230,39 @@ def test_mvitv2_s_param_count():
         np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables["params"])
     )
     assert n_params == 34_537_744, f"got {n_params:,}"
+
+
+def test_csn_tiny_forward():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "PTVCSN"
+    cfg.MODEL.ARCH = "csn"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 8, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 5)
+    # conv_b must be depthwise: kernel input-channel dim is 1.
+    b_kernel = variables["params"]["s2.res0"]["branch2"]["b"]["kernel"]
+    assert b_kernel.shape[:4] == (3, 3, 3, 1)
+    np.testing.assert_allclose(np.sum(np.array(out), axis=1), 1.0, rtol=1e-5)
+
+
+def test_r2plus1d_tiny_forward():
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "PTVR2plus1D"
+    cfg.MODEL.ARCH = "r2plus1d"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 8, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 5)
+    params = variables["params"]["s2.res0"]["branch2"]
+    # Factored conv_b: spatial 1x3x3 then temporal 3x1x1.
+    assert params["b_xy"]["kernel"].shape[:3] == (1, 3, 3)
+    assert params["b_t"]["kernel"].shape[:3] == (3, 1, 1)

@@ -190,7 +190,7 @@ class Sth(_FrameListBase):
     (`Uniformer/slowfast/datasets/sth.py:25-376`): space-separated rows
     `dir num_frames label` named by `DATA.LABEL_PATH_TEMPLATE.format(split)`
     (split is "train"/"validation"); frames are per-video JPEG directories
-    addressed by `DATA.IMAGE_TEMPLATE` with 1-based indices; TSN-style
+    addressed by `DATA.IMAGE_TEMPLATE`; TSN-style
     segment sampling whose test position depends on the ensemble view
     (`sth.py:134-161`)."""
 
@@ -392,3 +392,9 @@ class Imagenet:
             "time": 0.0,
             "pm": False,
         }
+
+
+# PyTorchVideo-wrapper dataset names (`ptv_datasets.py:311,454`) alias the
+# native implementations — same data, same protocol, native decode path.
+DATASET_REGISTRY.register(Ssv2, name="Ptvssv2")
+DATASET_REGISTRY.register(Charades, name="Ptvcharades")

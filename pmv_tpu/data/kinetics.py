@@ -337,3 +337,9 @@ class Kinetics:
             np.clip(frames, 0, 255).astype(np.uint8)
         )
         return (frames, pm), time_frac
+
+
+# The reference also exposes a PyTorchVideo-backed loader for the same data
+# under DATA.DATASET "ptvkinetics" (`MViT/slowfast/datasets/ptv_datasets.py:142`);
+# here the native loader *is* the fast path, so the name aliases to it.
+DATASET_REGISTRY.register(Kinetics, name="Ptvkinetics")

@@ -10,8 +10,11 @@ video_visualizer}.py`) on the TPU-native stack:
   reference's `AsyncDemo` used mp.Queue processes — threads suffice here
   because decode is native and inference is a non-blocking device dispatch);
 - PIL text overlay replaces the cv2 `VideoVisualizer`;
-- output is written with the native AVI writer (webcam in/out needs a
-  display stack, not available headless; file mode is the supported path).
+- output is written with the native AVI writer;
+- webcam capture (`DEMO.WEBCAM >= 0`, reference `demo_loader.py`
+  VideoManager source switch) streams through cv2.VideoCapture: frames
+  accumulate into clip windows until the stream ends (a live camera runs
+  until interrupted — headless hosts have no display loop to quit from).
 """
 
 import os
@@ -44,10 +47,40 @@ def _annotate(frame, lines):
     return np.asarray(img)
 
 
+def _cv2_stream_windows(cap, t, clip_len):
+    """Yield (window_idx, [t frames RGB uint8]) from an opened
+    cv2.VideoCapture until the stream ends. Each window spans clip_len
+    consecutive captured frames, subsampled to t by linspace — the same
+    geometry the file path uses."""
+    import cv2
+
+    idx = np.linspace(0, clip_len - 1, t).astype(np.int64)
+    keep = set(idx.tolist())
+    w = 0
+    buf = []
+    pos = 0
+    while True:
+        ret, frame = cap.read()
+        if not ret:
+            return
+        if pos in keep:
+            buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        pos += 1
+        if pos == clip_len:
+            yield w, np.stack(buf)
+            w += 1
+            buf = []
+            pos = 0
+
+
 def demo(cfg):
-    """Annotate DEMO.INPUT_VIDEO with top-k predictions per clip window."""
+    """Annotate DEMO.INPUT_VIDEO (or a DEMO.WEBCAM stream) with top-k
+    predictions per clip window."""
     pmv_logging.setup_logging(cfg.OUTPUT_DIR)
-    assert cfg.DEMO.INPUT_VIDEO, "DEMO.INPUT_VIDEO must point at a video file"
+    use_webcam = cfg.DEMO.WEBCAM >= 0
+    assert use_webcam or cfg.DEMO.INPUT_VIDEO, (
+        "DEMO.INPUT_VIDEO must point at a video file (or set DEMO.WEBCAM)"
+    )
     from pmv_tpu.native import binding
 
     cfg = cfg.clone()
@@ -55,7 +88,7 @@ def demo(cfg):
     model = build_model(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
 
-    reader = binding.VideoReader(cfg.DEMO.INPUT_VIDEO)
+    reader = None if use_webcam else binding.VideoReader(cfg.DEMO.INPUT_VIDEO)
     size = cfg.DATA.TEST_CROP_SIZE
     t = cfg.DATA.NUM_FRAMES
     stride = cfg.DATA.SAMPLING_RATE
@@ -75,25 +108,44 @@ def demo(cfg):
     )
 
     clip_len = t * stride
-    n_windows = max(reader.num_frames // clip_len, 1)
-    logger.info(
-        "Demo: %s (%d frames, %.1f fps) -> %d windows",
-        cfg.DEMO.INPUT_VIDEO, reader.num_frames, reader.fps, n_windows,
-    )
-
     decode_q = queue.Queue(maxsize=2)
     pred_q = queue.Queue(maxsize=2)
 
-    def decoder_stage():
-        for w in range(n_windows):
-            start = w * clip_len
-            idx = np.linspace(
-                start, min(start + clip_len - 1, reader.num_frames - 1), t
-            ).astype(np.int64)
-            # Clip frames for the model at a short-side-scaled geometry.
-            frames = reader.read_frames(idx)
-            decode_q.put((w, frames))
-        decode_q.put(None)
+    if use_webcam:
+        import cv2
+
+        cap = cv2.VideoCapture(cfg.DEMO.WEBCAM)
+        assert cap.isOpened(), f"cannot open webcam {cfg.DEMO.WEBCAM}"
+        if cfg.DEMO.DISPLAY_WIDTH > 0:
+            cap.set(cv2.CAP_PROP_FRAME_WIDTH, cfg.DEMO.DISPLAY_WIDTH)
+        if cfg.DEMO.DISPLAY_HEIGHT > 0:
+            cap.set(cv2.CAP_PROP_FRAME_HEIGHT, cfg.DEMO.DISPLAY_HEIGHT)
+        src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        logger.info("Demo: webcam %d (%.1f fps)", cfg.DEMO.WEBCAM, src_fps)
+
+        def decoder_stage():
+            for item in _cv2_stream_windows(cap, t, clip_len):
+                decode_q.put(item)
+            cap.release()
+            decode_q.put(None)
+    else:
+        n_windows = max(reader.num_frames // clip_len, 1)
+        src_fps = reader.fps
+        logger.info(
+            "Demo: %s (%d frames, %.1f fps) -> %d windows",
+            cfg.DEMO.INPUT_VIDEO, reader.num_frames, reader.fps, n_windows,
+        )
+
+        def decoder_stage():
+            for w in range(n_windows):
+                start = w * clip_len
+                idx = np.linspace(
+                    start, min(start + clip_len - 1, reader.num_frames - 1), t
+                ).astype(np.int64)
+                # Clip frames for the model at a short-side-scaled geometry.
+                frames = reader.read_frames(idx)
+                decode_q.put((w, frames))
+            decode_q.put(None)
 
     def predict_stage():
         while True:
@@ -113,14 +165,27 @@ def demo(cfg):
                 (w, frames, np.asarray(preds)[0].astype(np.float32))
             )
 
-    threading.Thread(target=decoder_stage, daemon=True).start()
-    threading.Thread(target=predict_stage, daemon=True).start()
+    def run_stage(fn):
+        # Stage failures must surface in the main thread, not leave the
+        # pipeline deadlocked on a queue that will never fill.
+        def wrapped():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001
+                pred_q.put(e)
+
+        threading.Thread(target=wrapped, daemon=True).start()
+
+    run_stage(decoder_stage)
+    run_stage(predict_stage)
 
     out_frames = []
     while True:
         item = pred_q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            raise item
         w, frames, preds = item
         topk = np.argsort(preds)[::-1][: cfg.DEMO.CLIP_VIS_SIZE]
         lines = [
@@ -129,13 +194,14 @@ def demo(cfg):
         ]
         for f in frames:
             out_frames.append(_annotate(f, lines))
-    reader.close()
+    if reader is not None:
+        reader.close()
 
     out_path = cfg.DEMO.OUTPUT_FILE or os.path.join(
         cfg.OUTPUT_DIR, "demo_out.avi"
     )
     fps = cfg.DEMO.OUTPUT_FPS if cfg.DEMO.OUTPUT_FPS > 0 else int(
-        max(reader.fps, 1)
+        max(src_fps, 1)
     )
     binding.write_test_video(out_path, np.stack(out_frames), fps=fps)
     logger.info("Demo output written to %s", out_path)

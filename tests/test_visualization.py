@@ -105,3 +105,25 @@ def test_demo_end_to_end(tmp_path):
     assert os.path.exists(out)
     with binding.VideoReader(out) as vr:
         assert vr.num_frames > 0
+
+
+def test_cv2_stream_windows(tmp_path):
+    """Webcam-path window assembly, driven by a file-backed cv2 capture."""
+    cv2 = pytest.importorskip("cv2")
+    from pmv_tpu.native import binding
+    from pmv_tpu.visualization.demo import _cv2_stream_windows
+
+    rng = np.random.default_rng(0)
+    vid = tmp_path / "stream.avi"
+    binding.write_test_video(
+        vid, rng.integers(0, 255, (25, 32, 24, 3), dtype=np.uint8), fps=12
+    )
+    cap = cv2.VideoCapture(str(vid))
+    assert cap.isOpened()
+    windows = list(_cv2_stream_windows(cap, t=4, clip_len=8))
+    cap.release()
+    # 25 frames -> 3 full 8-frame windows, each subsampled to 4 frames.
+    assert [w for w, _ in windows] == [0, 1, 2]
+    for _, frames in windows:
+        assert frames.shape == (4, 32, 24, 3)  # (T, H, W, C) from the file
+        assert frames.dtype == np.uint8

@@ -487,6 +487,10 @@ _C.DEMO.SLOWMO = 1
 _C.DEMO.VIS_MODE = "thres"
 _C.DEMO.COMMON_CLASS_THRES = 0.7
 _C.DEMO.UNCOMMON_CLASS_THRES = 0.3
+# AVA demo with precomputed boxes (`defaults.py:1284` DEMO.PREDS_BOXES).
+_C.DEMO.PREDS_BOXES = ""
+_C.DEMO.GT_BOXES = ""
+_C.DEMO.STARTING_SECOND = 900
 
 # ------------------------------------------------------------------------ TPU
 # TPU-native runtime knobs (new capability, no reference equivalent).

@@ -34,6 +34,38 @@ def get_sequence(center_idx, half_len, sample_rate, num_frames):
     return [min(max(i, 0), num_frames - 1) for i in seq]
 
 
+def parse_bboxes_file(path, is_gt, detect_thresh, all_boxes=None):
+    """Parse one AVA box-list csv (`ava_helper.py` parse_bboxes_file):
+    rows `video_id,sec,x1,y1,x2,y2,label[,score]` with normalized
+    coordinates. Accumulates into / returns
+    `video -> sec -> {box4: [box4, [labels]]}` (label lists merged per
+    unique box)."""
+    if all_boxes is None:
+        all_boxes = {}
+    with open(path) as f:
+        for line in f:
+            row = line.strip().split(",")
+            if len(row) < 7:
+                continue
+            if not is_gt and len(row) == 8:
+                try:
+                    score = float(row[7])
+                    if score < detect_thresh:
+                        continue
+                except ValueError:
+                    pass
+            video, sec = row[0], int(float(row[1]))
+            box = list(map(float, row[2:6]))
+            label = -1 if row[6] == "" else int(row[6])
+            key = tuple(box)
+            all_boxes.setdefault(video, {}).setdefault(sec, {})
+            if key not in all_boxes[video][sec]:
+                all_boxes[video][sec][key] = [box, []]
+            if label != -1:
+                all_boxes[video][sec][key][1].append(label)
+    return all_boxes
+
+
 def load_boxes_and_labels(cfg, mode):
     """keyframe annotations: video -> sec -> [(box, [labels])]."""
     ann_dir = cfg.AVA.ANNOTATION_DIR
@@ -42,31 +74,13 @@ def load_boxes_and_labels(cfg, mode):
         if mode == "train"
         else cfg.AVA.TEST_PREDICT_BOX_LISTS
     )
-    detect_thresh = cfg.AVA.DETECTION_SCORE_THRESH
     all_boxes = {}
     for filename in files:
         is_gt = filename in cfg.AVA.TRAIN_GT_BOX_LISTS
-        with open(os.path.join(ann_dir, filename)) as f:
-            for line in f:
-                row = line.strip().split(",")
-                if len(row) < 7:
-                    continue
-                if not is_gt and len(row) == 8:
-                    try:
-                        score = float(row[7])
-                        if score < detect_thresh:
-                            continue
-                    except ValueError:
-                        pass
-                video, sec = row[0], int(float(row[1]))
-                box = list(map(float, row[2:6]))
-                label = -1 if row[6] == "" else int(row[6])
-                key = tuple(box)
-                all_boxes.setdefault(video, {}).setdefault(sec, {})
-                if key not in all_boxes[video][sec]:
-                    all_boxes[video][sec][key] = [box, []]
-                if label != -1:
-                    all_boxes[video][sec][key][1].append(label)
+        parse_bboxes_file(
+            os.path.join(ann_dir, filename), is_gt,
+            cfg.AVA.DETECTION_SCORE_THRESH, all_boxes,
+        )
     out = {}
     for video, secs in all_boxes.items():
         out[video] = {

@@ -317,9 +317,17 @@ def init_state(cfg, model, example_batch, rng, tx=None):
     inputs = pack_pathways(cfg, x, audio=example_batch.get("audio"))
     if len(inputs) == 1:
         inputs = inputs[0]
+    kwargs = {}
+    if cfg.DETECTION.ENABLE and "boxes" in example_batch:
+        kwargs = dict(
+            boxes=jnp.asarray(example_batch["boxes"]),
+            box_mask=jnp.asarray(example_batch["box_mask"]),
+        )
     # Jit the init: un-jitted flax init runs the whole forward eagerly,
     # which is pathologically slow on remote/tunneled backends.
-    variables = jax.jit(lambda k: model.init(k, inputs, train=False))(rng)
+    variables = jax.jit(
+        lambda k: model.init(k, inputs, train=False, **kwargs)
+    )(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if tx is None:

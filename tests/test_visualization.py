@@ -127,3 +127,45 @@ def test_cv2_stream_windows(tmp_path):
     for _, frames in windows:
         assert frames.shape == (4, 32, 24, 3)  # (T, H, W, C) from the file
         assert frames.dtype == np.uint8
+
+
+def test_ava_demo_precomputed_boxes(tmp_path):
+    from pmv_tpu.native import binding
+    from pmv_tpu.visualization.ava_demo import ava_demo
+
+    rng = np.random.default_rng(0)
+    vid = tmp_path / "kf_video.avi"
+    binding.write_test_video(
+        vid, rng.integers(0, 255, (40, 32, 48, 3), dtype=np.uint8), fps=10
+    )
+    # AVA list csv: video_id,sec,x1,y1,x2,y2,label,score (normalized boxes).
+    boxes_csv = tmp_path / "preds.csv"
+    boxes_csv.write_text(
+        "kf_video,901,0.1,0.1,0.6,0.8,1,0.99\n"
+        "kf_video,901,0.5,0.2,0.9,0.9,2,0.95\n"
+        "kf_video,903,0.2,0.2,0.7,0.7,1,0.98\n"
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.HEAD_ACT = "sigmoid"
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.DETECTION.ENABLE = True
+    cfg.DETECTION.SPATIAL_SCALE_FACTOR = 16
+    cfg.DETECTION.ROI_XFORM_RESOLUTION = 4
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.INPUT_VIDEO = str(vid)
+    cfg.DEMO.PREDS_BOXES = str(boxes_csv)
+    cfg.DEMO.STARTING_SECOND = 900
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "ava_out.avi")
+    cfg.OUTPUT_DIR = str(tmp_path)
+    out = ava_demo(cfg)
+    assert os.path.exists(out)
+    with binding.VideoReader(out) as vr:
+        assert vr.num_frames == 40

@@ -51,9 +51,16 @@ def main():
                 test(cfg)
 
         if cfg.DEMO.ENABLE:
-            from pmv_tpu.visualization.demo import demo
+            # Detection configs with precomputed boxes route to the AVA
+            # visualizer (`demo_net.py:96-105` dispatch).
+            if cfg.DETECTION.ENABLE and cfg.DEMO.PREDS_BOXES:
+                from pmv_tpu.visualization.ava_demo import ava_demo
 
-            demo(cfg)
+                ava_demo(cfg)
+            else:
+                from pmv_tpu.visualization.demo import demo
+
+                demo(cfg)
 
 
 if __name__ == "__main__":

@@ -466,6 +466,27 @@ _C.TENSORBOARD.HISTOGRAM.ENABLE = False
 _C.TENSORBOARD.HISTOGRAM.FIGSIZE = [8, 8]
 _C.TENSORBOARD.HISTOGRAM.SUBSET_PATH = ""
 _C.TENSORBOARD.HISTOGRAM.TOPK = 10
+# Path to pickled test predictions for offline plotting (`defaults.py:1144`).
+_C.TENSORBOARD.PREDICTIONS_PATH = ""
+# Model-visualization sweep (`defaults.py:1183-1222`).
+_C.TENSORBOARD.MODEL_VIS = CfgNode()
+_C.TENSORBOARD.MODEL_VIS.ENABLE = False
+_C.TENSORBOARD.MODEL_VIS.MODEL_WEIGHTS = False
+_C.TENSORBOARD.MODEL_VIS.ACTIVATIONS = False
+_C.TENSORBOARD.MODEL_VIS.INPUT_VIDEO = False
+_C.TENSORBOARD.MODEL_VIS.LAYER_LIST = []
+_C.TENSORBOARD.MODEL_VIS.TOPK_PREDS = 1
+_C.TENSORBOARD.MODEL_VIS.COLORMAP = "Pastel2"
+_C.TENSORBOARD.MODEL_VIS.GRAD_CAM = CfgNode()
+_C.TENSORBOARD.MODEL_VIS.GRAD_CAM.ENABLE = True
+_C.TENSORBOARD.MODEL_VIS.GRAD_CAM.LAYER_LIST = []
+_C.TENSORBOARD.MODEL_VIS.GRAD_CAM.USE_TRUE_LABEL = False
+_C.TENSORBOARD.MODEL_VIS.GRAD_CAM.COLORMAP = "viridis"
+# Wrong-prediction video logging (`defaults.py:1226-1232`).
+_C.TENSORBOARD.WRONG_PRED_VIS = CfgNode()
+_C.TENSORBOARD.WRONG_PRED_VIS.ENABLE = False
+_C.TENSORBOARD.WRONG_PRED_VIS.TAG = "Incorrectly classified videos."
+_C.TENSORBOARD.WRONG_PRED_VIS.SUBSET_PATH = ""
 
 # ----------------------------------------------------------------------- DEMO
 _C.DEMO = CfgNode()
@@ -506,8 +527,13 @@ _C.TPU.PROFILE_DIR = ""
 
 
 def get_cfg():
-    """Return a fresh clone of the default config."""
-    return _C.clone()
+    """Return a fresh clone of the default config (+ custom keys,
+    `custom_config.py:7-9` extension hook)."""
+    from pmv_tpu.config.custom_config import add_custom_config
+
+    cfg = _C.clone()
+    add_custom_config(cfg)
+    return cfg
 
 
 def assert_and_infer_cfg(cfg):

@@ -46,6 +46,13 @@ class TensorboardWriter:
         v = torch.from_numpy(v).permute(0, 1, 4, 2, 3)  # B, T, C, H, W
         self.writer.add_video(tag, v, global_step=global_step, fps=fps)
 
+    def add_histogram(self, tag, values, global_step=None):
+        """Weight/activation histograms (`tensorboard_vis.py` plot_weights_
+        and_activations)."""
+        self.writer.add_histogram(
+            tag, np.asarray(values).ravel(), global_step=global_step
+        )
+
     def plot_eval(self, preds, labels, global_step=None):
         """Confusion matrix + per-class histograms (`tensorboard_vis.py`)."""
         if not self.cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE:

@@ -129,6 +129,45 @@ def test_cv2_stream_windows(tmp_path):
         assert frames.dtype == np.uint8
 
 
+def test_visualize_tool_model_vis(tmp_path):
+    """tools/visualization end-to-end: weight histograms, wrong-pred videos,
+    Grad-CAM sweep (`MViT/tools/visualization.py:29-345` surface)."""
+    from tools.visualization import visualize
+
+    cfg = _tiny_x3d_cfg()
+    cfg.TEST.DATASET = "synthetic"
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.ENABLE = True
+    cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE = True
+    cfg.TENSORBOARD.MODEL_VIS.ENABLE = True
+    cfg.TENSORBOARD.MODEL_VIS.MODEL_WEIGHTS = True
+    cfg.TENSORBOARD.MODEL_VIS.INPUT_VIDEO = True
+    cfg.TENSORBOARD.MODEL_VIS.LAYER_LIST = ["s1"]
+    cfg.TENSORBOARD.WRONG_PRED_VIS.ENABLE = True
+    visualize(cfg)
+    runs = [p for p in os.listdir(tmp_path) if p.startswith("runs-")]
+    assert runs, "no event dir written"
+
+
+def test_visualize_tool_no_gradcam(tmp_path):
+    """GRAD_CAM.ENABLE False takes the plain-forward branch."""
+    from tools.visualization import visualize
+
+    cfg = _tiny_x3d_cfg()
+    cfg.TEST.DATASET = "synthetic"
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.ENABLE = True
+    cfg.TENSORBOARD.MODEL_VIS.ENABLE = True
+    cfg.TENSORBOARD.MODEL_VIS.GRAD_CAM.ENABLE = False
+    visualize(cfg)
+
+
 def test_ava_demo_precomputed_boxes(tmp_path):
     from pmv_tpu.native import binding
     from pmv_tpu.visualization.ava_demo import ava_demo

@@ -50,6 +50,15 @@ def main():
             else:
                 test(cfg)
 
+        # Model visualization (`run_net.py:41-46` dispatch).
+        if cfg.TENSORBOARD.ENABLE and (
+            cfg.TENSORBOARD.MODEL_VIS.ENABLE
+            or cfg.TENSORBOARD.WRONG_PRED_VIS.ENABLE
+        ):
+            from tools.visualization import visualize
+
+            visualize(cfg)
+
         if cfg.DEMO.ENABLE:
             # Detection configs with precomputed boxes route to the AVA
             # visualizer (`demo_net.py:96-105` dispatch).

@@ -45,14 +45,52 @@ def visualize(cfg):
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
 
+    mv = cfg.TENSORBOARD.MODEL_VIS
+
+    # Weight histograms by layer prefix (`tensorboard_vis.py`
+    # plot_weights_and_activations; LAYER_LIST empty = all layers).
+    if mv.ENABLE and mv.MODEL_WEIGHTS:
+        import jax as _jax
+
+        flat = _jax.tree_util.tree_flatten_with_path(state.params)[0]
+        for path, leaf in flat:
+            name = "/".join(str(k.key) for k in path)
+            if mv.LAYER_LIST and not any(
+                name.startswith(l) for l in mv.LAYER_LIST
+            ):
+                continue
+            writer.add_histogram(f"weights/{name}", leaf, global_step=0)
+
+    use_gradcam = not mv.ENABLE or mv.GRAD_CAM.ENABLE
     all_preds, all_labels = [], []
     for cur_iter, batch in enumerate(test_loader):
         x = (batch["frames"].astype(np.float32) - mean) / std
-        maps, preds = gradcam(model, variables, jnp.asarray(x))
-        all_preds.append(np.asarray(preds))
+        if use_gradcam:
+            labels_for_cam = (
+                jnp.asarray(batch["labels"])
+                if (mv.ENABLE and mv.GRAD_CAM.USE_TRUE_LABEL)
+                else None
+            )
+            maps, preds = gradcam(
+                model, variables, jnp.asarray(x), target_labels=labels_for_cam
+            )
+        else:
+            inputs = jnp.asarray(x)
+            preds = model.apply(variables, inputs, train=False)
+        preds = np.asarray(preds)
+        all_preds.append(preds)
         all_labels.append(batch["labels"])
-        if cur_iter == 0:
+        if cur_iter == 0 and (not mv.ENABLE or mv.INPUT_VIDEO):
             writer.add_video(batch["frames"], tag="Input", global_step=0)
+        # Wrong-prediction videos (`visualization.py` WRONG_PRED_VIS path).
+        if cfg.TENSORBOARD.WRONG_PRED_VIS.ENABLE:
+            wrong = np.argmax(preds, axis=-1) != np.asarray(batch["labels"])
+            if wrong.any():
+                writer.add_video(
+                    batch["frames"][wrong][:4],
+                    tag=cfg.TENSORBOARD.WRONG_PRED_VIS.TAG,
+                    global_step=cur_iter,
+                )
         if cur_iter >= 4:  # visualization sweep is bounded by design
             break
     writer.plot_eval(

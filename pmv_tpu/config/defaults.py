@@ -45,6 +45,7 @@ _C.AUG.RE_MODE = "pixel"
 _C.AUG.RE_COUNT = 1
 _C.AUG.RE_SPLIT = False
 _C.AUG.MASK_FRAMES = False
+_C.AUG.MASK_TUBE = False
 _C.AUG.MASK_WINDOW_SIZE = [8, 7, 7]
 _C.AUG.MASK_RATIO = 0.0
 _C.AUG.MAX_MASK_PATCHES_PER_BLOCK = None
@@ -150,6 +151,9 @@ _C.MVIT.USE_PALLAS_ATTENTION = False
 # (full step 200 vs 172 ms; kernel fwd 1.7 vs 0.3 ms at stage 1 — the
 # unaligned sublane taps dominate). Kept for further kernel work.
 _C.MVIT.USE_PALLAS_POOLS = False
+# Depthwise pool-conv lowering: "xla" grouped conv | "shift" lane-padded
+# shifted-MAC (no grouped-conv anywhere) | "custom_vjp" XLA fwd + hand bwd.
+_C.MVIT.POOL_CONV_IMPL = "xla"
 
 # ------------------------------------------------------------------ UNIFORMER
 _C.UNIFORMER = CfgNode()

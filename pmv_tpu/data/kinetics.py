@@ -160,6 +160,12 @@ class Kinetics:
                 "time": time_frac,
                 "pm": pm,
             }
+            if self.mode == "train" and cfg.AUG.GEN_MASK_LOADER:
+                # Blockwise MaskFeat mask on the token window
+                # (`kinetics.py:542-578` _gen_mask).
+                from pmv_tpu.data.masking import gen_mask
+
+                sample["mask"] = gen_mask(cfg, rng).reshape(-1).astype(bool)
             if cfg.DATA.DUMMY_LOAD and self.dummy_output is None:
                 self.dummy_output = sample
             return sample

@@ -87,10 +87,13 @@ def make_masked_train_step(cfg, model, tx):
             jax.random.fold_in(rng, state.step), 3
         )
         x = preprocess(k_pre, batch["frames"])
+        # Loader-generated blockwise mask (AUG.GEN_MASK_LOADER) takes
+        # priority over the model's on-device random masking.
+        loader_mask = batch.get("mask")
 
         def loss_fn(params):
             pred, target, mask = model.apply(
-                {"params": params}, x, train=True,
+                {"params": params}, x, mask=loader_mask, train=True,
                 rngs={"mask": k_mask, "dropout": k_drop},
             )
             return masked_loss(pred, target, mask)

@@ -44,6 +44,8 @@ def make_preprocess_fn(cfg, train: bool):
     std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
     use_ra = train and cfg.AUG.ENABLE and cfg.AUG.AA_TYPE
     use_re = train and cfg.AUG.ENABLE and cfg.AUG.RE_PROB > 0
+    use_ssl_cj = train and cfg.DATA.SSL_COLOR_JITTER
+    use_td = train and cfg.DATA.TIME_DIFF_PROB > 0
     ra = RandAugment(cfg.AUG.AA_TYPE) if use_ra else None
 
     # With repeated augmentation the batch is copy-major (loader collate),
@@ -52,6 +54,28 @@ def make_preprocess_fn(cfg, train: bool):
 
     def preprocess(key, frames):
         x = frames.astype(jnp.float32)
+        if use_td:
+            # Decode-time raw-frame aug (`decoder.py:644` augment_raw_frames).
+            from pmv_tpu.data.color_jitter import augment_time_difference
+
+            k_td, key = jax.random.split(key)
+            x = augment_time_difference(k_td, x, cfg.DATA.TIME_DIFF_PROB)
+        if use_ssl_cj:
+            # SSL color aug (`kinetics.py:419` color_jitter_video_ssl).
+            from pmv_tpu.data.color_jitter import ssl_color_jitter
+
+            k_cj, key = jax.random.split(key)
+            x = ssl_color_jitter(
+                k_cj, x,
+                bri_con_sat=tuple(cfg.DATA.SSL_COLOR_BRI_CON_SAT),
+                hue=cfg.DATA.SSL_COLOR_HUE,
+                p_convert_gray=cfg.DATA.COLOR_RND_GRAYSCALE,
+                moco_v2_aug=cfg.DATA.SSL_MOCOV2_AUG,
+                blur_sigma=(
+                    cfg.DATA.SSL_BLUR_SIGMA_MIN[1],
+                    cfg.DATA.SSL_BLUR_SIGMA_MAX[1],
+                ),
+            )
         if ra is not None:
             k_ra, key = jax.random.split(key)
             # Batch-level op choice: per-sample switch under vmap would run

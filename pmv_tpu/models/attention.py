@@ -169,6 +169,7 @@ class AttentionPool(nn.Module):
     has_cls_embed: bool
     pad_lanes: bool = False  # 128-lane channel padding (eval graphs only)
     use_pallas_pools: bool = False  # hand-written depthwise kernel on TPU
+    pool_impl: str = "xla"  # xla | shift | custom_vjp | pallas (TPU only)
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
 
@@ -201,9 +202,27 @@ class AttentionPool(nn.Module):
             )
             tiled = jnp.tile(kernel, (1, 1, 1, 1, H)).astype(self.dtype)
             hc = H * C
-            if (
-                self.use_pallas_pools
-                and jax.default_backend() == "tpu"
+            impl = "pallas" if self.use_pallas_pools else self.pool_impl
+            on_tpu = jax.default_backend() == "tpu"
+            if impl == "shift":
+                # Lane-padded shifted-MAC depthwise (ops/pool_conv.py
+                # dw_shifted): no grouped-conv lowering fwd or bwd.
+                from pmv_tpu.ops.pool_conv import dw_shifted
+
+                x = dw_shifted(
+                    x.astype(self.dtype), tiled.reshape(
+                        tuple(self.kernel) + (hc,)
+                    ), tuple(self.stride), padding,
+                )
+            elif impl == "custom_vjp":
+                from pmv_tpu.ops.pool_conv import pool_conv
+
+                x = pool_conv(
+                    x.astype(self.dtype), tiled, tuple(self.stride), padding
+                )
+            elif (
+                impl == "pallas"
+                and on_tpu
                 and tuple(self.kernel) == (3, 3, 3)
                 and tuple(self.stride) == (1, 1, 1)
             ):
@@ -278,6 +297,7 @@ class MultiScaleAttention(nn.Module):
     hw_switch: bool = False  # static: portrait specialization swaps H/W tables
     use_pallas: bool = False  # fused attention kernel on TPU backends
     use_pallas_pools: bool = False  # hand-written depthwise pool kernel
+    pool_impl: str = "xla"  # depthwise pool implementation (AttentionPool)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -313,18 +333,21 @@ class MultiScaleAttention(nn.Module):
             kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
             has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
             use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
             dtype=self.dtype, name="pool_q",
         )(q, thw_shape)
         k, k_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
             has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
             use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
             dtype=self.dtype, name="pool_k",
         )(k, thw_shape)
         v, v_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
             has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
             use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
             dtype=self.dtype, name="pool_v",
         )(v, thw_shape)
 
@@ -511,6 +534,7 @@ class MultiScaleBlock(nn.Module):
     hw_switch: bool = False
     use_pallas: bool = False
     use_pallas_pools: bool = False
+    pool_impl: str = "xla"
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -539,6 +563,7 @@ class MultiScaleBlock(nn.Module):
             hw_switch=self.hw_switch,
             use_pallas=self.use_pallas,
             use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

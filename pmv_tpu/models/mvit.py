@@ -294,6 +294,7 @@ class MViT(nn.Module):
                 hw_switch=self.hw_switch,
                 use_pallas=cfg.MVIT.USE_PALLAS_ATTENTION,
                 use_pallas_pools=cfg.MVIT.USE_PALLAS_POOLS,
+                pool_impl=cfg.MVIT.POOL_CONV_IMPL,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

@@ -183,3 +183,48 @@ def pool_conv(x, w, stride, padding):
     """Depthwise NDHWC conv ([kt,kh,kw,1,C] kernel) with custom gradients."""
     pc = _make_pool_conv(tuple(stride), tuple(tuple(p) for p in padding))
     return pc(x, w)
+
+
+def dw_shifted(x, w, stride, padding, accum_dtype=jnp.float32):
+    """Depthwise conv as k^3 shifted multiply-accumulates on lane-padded
+    channels.
+
+    No grouped-conv lowering anywhere: the forward is pad/slice/mul/add
+    (VPU-only, channels padded to 128 lanes so every op runs on full
+    registers), and autodiff produces the same op classes — sidestepping
+    both XLA's slow batch_group_count backward and its pad/slice grouped-
+    conv-gradient miscompile (see AttentionPool notes).
+
+    x: [B, T, H, W, C]; w: [kt, kh, kw, C] or [kt, kh, kw, 1, C].
+    """
+    b, t, h, wd, c = x.shape
+    kt, kh, kw = w.shape[:3]
+    st, sh, sw = stride
+    cp = _round_up(c, 128)
+    xp = jnp.pad(
+        x, ((0, 0),) + tuple(tuple(p) for p in padding) + ((0, cp - c),)
+    )
+    wf = jnp.pad(w.reshape(kt, kh, kw, -1), ((0, 0),) * 3 + ((0, cp - c),))
+    ot = (t + sum(padding[0]) - kt) // st + 1
+    oh = (h + sum(padding[1]) - kh) // sh + 1
+    ow = (wd + sum(padding[2]) - kw) // sw + 1
+    acc = jnp.zeros((b, ot, oh, ow, cp), accum_dtype)
+    for dt in range(kt):
+        for dh in range(kh):
+            for dwi in range(kw):
+                sl = jax.lax.slice(
+                    xp,
+                    (0, dt, dh, dwi, 0),
+                    (
+                        b,
+                        dt + (ot - 1) * st + 1,
+                        dh + (oh - 1) * sh + 1,
+                        dwi + (ow - 1) * sw + 1,
+                        cp,
+                    ),
+                    (1, st, sh, sw, 1),
+                )
+                acc = acc + sl.astype(accum_dtype) * wf[dt, dh, dwi].astype(
+                    accum_dtype
+                )
+    return acc[..., :c].astype(x.dtype)

@@ -129,3 +129,85 @@ def test_maskmvit_pixel_targets_and_decoder():
     assert "decoder_blocks.0" in variables["params"]
     loss = masked_loss(pred, target, mask)
     assert float(loss) > 0
+
+
+def test_masking_generators():
+    """Blockwise generators hit the requested density on the window
+    (`transform.py:984-1160`)."""
+    import numpy as np
+
+    from pmv_tpu.data.masking import (
+        MaskingGenerator, MaskingGenerator3D, gen_mask,
+    )
+
+    rng = np.random.default_rng(0)
+    gen2 = MaskingGenerator((14, 14), 60, min_num_patches=12, rng=rng)
+    m2 = gen2()
+    assert m2.shape == (14, 14)
+    assert 40 <= m2.sum() <= 80
+
+    gen3 = MaskingGenerator3D((8, 7, 7), 157, min_num_patches=9,
+                              max_num_patches=49, rng=rng)
+    m3 = gen3()
+    assert m3.shape == (8, 7, 7)
+    assert 100 <= m3.sum() <= 180
+
+    from pmv_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.AUG.MASK_WINDOW_SIZE = [8, 7, 7]
+    cfg.AUG.MASK_RATIO = 0.4
+    m = gen_mask(cfg, rng)
+    assert m.shape == (8, 7, 7)
+    cfg.AUG.MASK_FRAMES = True
+    mf = gen_mask(cfg, rng)
+    assert set(np.unique(mf.sum(axis=(1, 2)))) <= {0, 49}
+    cfg.AUG.MASK_FRAMES = False
+    cfg.AUG.MASK_TUBE = True
+    mt = gen_mask(cfg, rng)
+    assert (mt == mt[0]).all()  # tubed over time
+
+
+def test_masked_step_with_loader_mask():
+    """GEN_MASK_LOADER path: batch['mask'] drives the masked step."""
+    import jax
+    import numpy as np
+
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.engine import ssl_steps
+    from pmv_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "MaskMViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.DATA.TEST_CROP_SIZE = 16
+    cfg.MVIT.DEPTH = 1
+    cfg.MVIT.EMBED_DIM = 8
+    cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
+    cfg.MVIT.USE_ABS_POS = False
+    cfg.MVIT.REL_POS_SPATIAL = False
+    cfg.MASK.ENABLE = True
+    cfg.MASK.PRED_HOG = False
+    cfg.AUG.GEN_MASK_LOADER = True
+    cfg.AUG.MASK_WINDOW_SIZE = [2, 4, 4]
+    cfg.AUG.MASK_RATIO = 0.4
+
+    model = build_model(cfg, dtype=None)
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(
+            rng_np.integers(0, 255, (2, 4, 16, 16, 3), dtype=np.uint8)
+        ),
+        "labels": jnp.asarray([0, 1]),
+        "mask": jnp.asarray(
+            rng_np.uniform(size=(2, 32)) < 0.4
+        ),
+    }
+    rng = jax.random.PRNGKey(0)
+    state, tx = ssl_steps.init_masked_state(cfg, model, batch, rng)
+    step = jax.jit(ssl_steps.make_masked_train_step(cfg, model, tx))
+    new_state, metrics = step(state, batch, rng, 1e-4)
+    assert np.isfinite(float(metrics["loss"]))

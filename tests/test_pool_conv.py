@@ -102,3 +102,29 @@ def test_pool_conv_in_model_grads():
         A._pool_conv = orig
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+@pytest.mark.parametrize("kernel,stride", CASES)
+def test_dw_shifted_matches_xla(kernel, stride):
+    """Shifted-MAC depthwise forward == XLA grouped conv (all pool shapes)."""
+    rng = np.random.default_rng(3)
+    c = 6
+    x = jnp.asarray(rng.normal(size=(2, 4, 9, 10, c)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=kernel + (1, c)).astype(np.float32) * 0.1
+    )
+    padding = [(k // 2, k // 2) for k in kernel]
+    ref = _xla_conv(x, w, stride, padding)
+    out = pcm.dw_shifted(x, w, stride, padding)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # Gradients are plain autodiff of pad/slice/mul/add; check vs conv grads.
+    g_ref = jax.grad(lambda a, b: jnp.sum(_xla_conv(a, b, stride, padding) ** 2),
+                     argnums=(0, 1))(x, w)
+    g = jax.grad(
+        lambda a, b: jnp.sum(pcm.dw_shifted(a, b, stride, padding) ** 2),
+        argnums=(0, 1),
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g_ref[0]), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g[1]).ravel(), np.asarray(g_ref[1]).ravel(), atol=1e-3
+    )

@@ -47,8 +47,12 @@ VARIANTS = {
     "sgd": lambda c: _set(c, [("SOLVER.OPTIMIZING_METHOD", "sgd")]),
     "f32": lambda c: _set(c, [("TPU.COMPUTE_DTYPE", "float32")]),
     "bs16": lambda c: c,  # handled specially: batch 16
+    "bs32": lambda c: c,  # handled specially: batch 32
+    "donate": lambda c: c,  # handled specially: donated state buffers
     "no_clip": lambda c: _set(c, [("SOLVER.CLIP_GRAD_L2NORM", 0.0)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
+    "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
+    "cvjp_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "custom_vjp")]),
 }
 
 
@@ -86,7 +90,7 @@ def time_variant(name):
     from pmv_tpu.parallel import mesh as mesh_lib
 
     cfg = VARIANTS[name](base_cfg())
-    batch_size = 16 if name == "bs16" else BATCH
+    batch_size = {"bs16": 16, "bs32": 32}.get(name, BATCH)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     batch = make_batch(cfg, batch_size)
@@ -110,7 +114,10 @@ def time_variant(name):
         jax.device_get(jnp.sum(out.astype(jnp.float32)))
         ms = (time.perf_counter() - t0) / n * 1e3
     else:
-        train_step = jax.jit(steps.make_train_step(cfg, model, tx))
+        donate = (0,) if name == "donate" else ()
+        train_step = jax.jit(
+            steps.make_train_step(cfg, model, tx), donate_argnums=donate
+        )
         for _ in range(2):
             state, metrics = train_step(state, device_batch, rng, 1e-4)
             jax.device_get(metrics["loss"])

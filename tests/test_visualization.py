@@ -208,3 +208,27 @@ def test_ava_demo_precomputed_boxes(tmp_path):
     assert os.path.exists(out)
     with binding.VideoReader(out) as vr:
         assert vr.num_frames == 40
+
+
+def test_visualize_predictions_path_offline(tmp_path):
+    """TENSORBOARD.PREDICTIONS_PATH: offline plots from pickled preds."""
+    import pickle
+
+    from tools.visualization import visualize
+    from pmv_tpu.config import get_cfg
+
+    preds = np.eye(3)[[0, 1, 2, 0]]
+    labels = np.array([0, 1, 2, 1])
+    p = tmp_path / "preds.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"video_preds": preds, "video_labels": labels}, f)
+
+    cfg = get_cfg()
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.TENSORBOARD.ENABLE = True
+    cfg.TENSORBOARD.CONFUSION_MATRIX.ENABLE = True
+    cfg.TENSORBOARD.PREDICTIONS_PATH = str(p)
+    visualize(cfg)
+    runs = [d for d in os.listdir(tmp_path) if d.startswith("runs-")]
+    assert runs

@@ -26,6 +26,26 @@ def visualize(cfg):
     logger = pmv_logging.setup_logging(cfg.OUTPUT_DIR)
     cfg = cfg.clone()
     cfg.TEST.PROCESS = True
+
+    # Offline class-level plots from pickled test predictions
+    # (`tools/visualization.py:293-302`).
+    if cfg.TENSORBOARD.PREDICTIONS_PATH:
+        import pickle
+
+        writer = TensorboardWriter(cfg)
+        with open(cfg.TENSORBOARD.PREDICTIONS_PATH, "rb") as f:
+            obj = pickle.load(f)
+        if isinstance(obj, dict):  # our test() dump format (engine/test.py)
+            preds, labels = obj["video_preds"], obj["video_labels"]
+        else:  # reference format: (preds, labels) tuple
+            preds, labels = obj
+        writer.plot_eval(np.asarray(preds), np.asarray(labels), global_step=0)
+        writer.close()
+        if not (
+            cfg.TENSORBOARD.MODEL_VIS.ENABLE
+            or cfg.TENSORBOARD.WRONG_PRED_VIS.ENABLE
+        ):
+            return
     model = build_model(cfg, dtype=None)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     test_loader = loader_mod.construct_loader(cfg, "test")

@@ -43,9 +43,11 @@ def main():
         cfg = _mvitv2_s_cfg(tiny=True)
         batch_size = 8
     else:
-        # Reference recipe is bs 32 over 8 GPUs = 4 clips/device
-        # (`exps/PMV/run_MViT_PMV.sh`); 8/chip keeps the MXU fed.
-        batch_size = 8
+        # Swept on v5e: per-clip step time improves through bs 32
+        # (bs8 153.8ms, bs16 309.9, bs32 585.9 -> 54.6 clips/s/chip; bs64
+        # fails to compile). The reference recipe is bs 32/node over 8 GPUs
+        # (`exps/PMV/run_MViT_PMV.sh`).
+        batch_size = 32
 
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)

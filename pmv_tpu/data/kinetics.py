@@ -89,7 +89,7 @@ class Kinetics:
     def num_videos(self):
         return len(self._path_to_videos)
 
-    def _sample_params(self, index):
+    def _sample_params(self, index, short_cycle_idx=None):
         """(temporal_idx, spatial_idx, min_scale, max_scale, crop_size)."""
         cfg = self.cfg
         if self.mode in ["train", "val"]:
@@ -98,6 +98,20 @@ class Kinetics:
             min_scale = cfg.DATA.TRAIN_JITTER_SCALES[0]
             max_scale = cfg.DATA.TRAIN_JITTER_SCALES[1]
             crop_size = cfg.DATA.TRAIN_CROP_SIZE
+            if short_cycle_idx in [0, 1] and cfg.MULTIGRID.SHORT_CYCLE:
+                # Short-cycle crop scaling (`kinetics.py` short_cycle_idx +
+                # `multigrid_helper.py` ShortCycleBatchSampler).
+                crop_size = int(
+                    round(
+                        cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                        * cfg.MULTIGRID.DEFAULT_S
+                    )
+                )
+            if cfg.MULTIGRID.DEFAULT_S > 0:
+                # Decreasing the scale with the crop keeps relative zoom.
+                min_scale = int(
+                    round(float(min_scale) * crop_size / cfg.MULTIGRID.DEFAULT_S)
+                )
         else:
             st_idx = self._spatial_temporal_idx[index]
             temporal_idx = st_idx // cfg.TEST.NUM_SPATIAL_CROPS
@@ -116,12 +130,15 @@ class Kinetics:
 
     def __getitem__(self, index):
         cfg = self.cfg
+        short_cycle_idx = None
+        if isinstance(index, tuple):  # (index, short_cycle_idx) from loader
+            index, short_cycle_idx = index
         if cfg.DATA.DUMMY_LOAD and self.dummy_output is not None:
             return self.dummy_output
 
         (
             temporal_idx, spatial_idx, min_scale, max_scale, crop_size
-        ) = self._sample_params(index)
+        ) = self._sample_params(index, short_cycle_idx)
         rng = np.random.default_rng()
 
         from pmv_tpu.native import binding

@@ -37,6 +37,7 @@ class DataLoader:
         process_index=0,
         process_count=1,
         collate=None,
+        short_cycle=None,  # (bs_factor_0, bs_factor_1) multigrid short cycle
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -49,6 +50,7 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.collate = collate or _collate
+        self.short_cycle = short_cycle
 
     def set_epoch(self, epoch):
         """Reseed the shuffle (reference `loader.shuffle_dataset`)."""
@@ -72,18 +74,52 @@ class DataLoader:
         shard_len = (
             len(self.dataset) + self.process_count - 1
         ) // self.process_count
+        if self.short_cycle:
+            f0, f1 = self.short_cycle
+            sizes = [self.batch_size * f0, self.batch_size * f1,
+                     self.batch_size]
+            cycle = sum(sizes)
+            n = (shard_len // cycle) * 3
+            rem = shard_len - (shard_len // cycle) * cycle
+            for s in sizes:
+                if rem <= 0:
+                    break
+                if not self.drop_last or rem >= s:
+                    n += 1
+                rem -= s
+            return n
         if self.drop_last:
             return shard_len // self.batch_size
         return (shard_len + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
         indices = self._epoch_indices()
-        batches = [
-            indices[i : i + self.batch_size]
-            for i in range(0, len(indices), self.batch_size)
-        ]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+        if self.short_cycle:
+            # ShortCycleBatchSampler (`datasets/multigrid_helper.py`): cycle
+            # batch sizes [bs*f0, bs*f1, bs]; samples in the two short
+            # phases carry their phase so the dataset shrinks the crop.
+            f0, f1 = self.short_cycle
+            sizes = [self.batch_size * f0, self.batch_size * f1,
+                     self.batch_size]
+            batches, pos, phase = [], 0, 0
+            while pos < len(indices):
+                bs = sizes[phase % 3]
+                chunk = indices[pos : pos + bs]
+                sc = phase % 3 if phase % 3 < 2 else None
+                batches.append([
+                    (int(i), sc) if sc is not None else int(i) for i in chunk
+                ])
+                if self.drop_last and len(chunk) < bs:
+                    batches.pop()
+                pos += bs
+                phase += 1
+        else:
+            batches = [
+                indices[i : i + self.batch_size]
+                for i in range(0, len(indices), self.batch_size)
+            ]
+            if self.drop_last:
+                batches = [b for b in batches if len(b) == self.batch_size]
 
         out_q = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
@@ -203,6 +239,26 @@ def construct_loader(cfg, split, dataset=None):
         # VIEWS instead keep their leading axis ([B, V, T, H, W, C]) for the
         # SSL step to pair up.
         collate = multiple_samples_collate
+    short_cycle = None
+    if (
+        split == "train"
+        and cfg.MULTIGRID.SHORT_CYCLE
+        and cfg.MULTIGRID.DEFAULT_S > 0
+    ):
+        # Batch-size factors compensating the smaller short-cycle crops
+        # (`multigrid_helper.py` ShortCycleBatchSampler bs_factor).
+        short_cycle = tuple(
+            int(
+                round(
+                    (
+                        float(cfg.DATA.TRAIN_CROP_SIZE)
+                        / (s * cfg.MULTIGRID.DEFAULT_S)
+                    )
+                    ** 2
+                )
+            )
+            for s in cfg.MULTIGRID.SHORT_CYCLE_FACTORS
+        )
     return DataLoader(
         dataset,
         batch_size=batch_size,
@@ -214,4 +270,5 @@ def construct_loader(cfg, split, dataset=None):
         process_index=jax.process_index(),
         process_count=jax.process_count(),
         collate=collate,
+        short_cycle=short_cycle,
     )

@@ -55,12 +55,23 @@ class Synthetic:
 
     def __getitem__(self, index):
         cfg = self.cfg
+        short_cycle_idx = None
+        if isinstance(index, tuple):  # multigrid short-cycle phase
+            index, short_cycle_idx = index
         # Label (and base content) must be per-video, not per-view, so
         # multi-view ensembling sees consistent labels across views.
         video_id = index // self._num_clips
         rng = np.random.default_rng(video_id)
         t = cfg.DATA.NUM_FRAMES
         h, w = self._crop
+        if short_cycle_idx in [0, 1] and cfg.MULTIGRID.SHORT_CYCLE:
+            s = int(
+                round(
+                    cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                    * cfg.MULTIGRID.DEFAULT_S
+                )
+            )
+            h = w = s
         num_aug = (
             cfg.AUG.NUM_SAMPLE
             if self.mode == "train" and cfg.AUG.ENABLE

@@ -92,9 +92,10 @@ def train_ssl(cfg):
         meter.iter_tic()
         for cur_iter, batch in enumerate(train_loader):
             lr = get_lr_at_epoch(cfg, cur_epoch + cur_iter / data_size)
-            device_batch = mesh_lib.shard_batch(
-                {"frames": batch["frames"], "index": batch["index"]}, mesh
-            )
+            dev_keys = {"frames": batch["frames"], "index": batch["index"]}
+            if "mask" in batch:  # AUG.GEN_MASK_LOADER blockwise masks
+                dev_keys["mask"] = batch["mask"]
+            device_batch = mesh_lib.shard_batch(dev_keys, mesh)
             meter.data_toc()
             state, metrics = train_step(state, device_batch, rng, lr)
             metrics = jax.device_get(metrics)

@@ -37,8 +37,14 @@ def train_epoch(
     mesh, rng,
 ):
     data_size = len(train_loader)
+    # jax.profiler trace of a few steady-state steps (TPU.PROFILE_DIR;
+    # replaces the reference's absent torch.profiler, SURVEY.md section 5).
+    prof_dir = cfg.TPU.PROFILE_DIR
+    prof_window = (10, 15) if data_size > 15 else (0, min(2, data_size))
     meter.iter_tic()
     for cur_iter, batch in enumerate(train_loader):
+        if prof_dir and cur_epoch == 0 and cur_iter == prof_window[0]:
+            jax.profiler.start_trace(prof_dir)
         epoch_exact = cur_epoch + float(cur_iter) / data_size
         lr = get_lr_at_epoch(cfg, epoch_exact)
         keep = {"frames", "labels", "pm", "boxes", "box_mask", "index",
@@ -74,7 +80,15 @@ def train_epoch(
             batch["frames"].shape[0] * max(cfg.NUM_SHARDS, 1),
         )
         meter.log_iter_stats(cur_epoch, cur_iter)
+        if prof_dir and cur_epoch == 0 and cur_iter == prof_window[1]:
+            jax.profiler.stop_trace()
+            prof_dir = None  # one trace per job
         meter.iter_tic()
+    if prof_dir and cur_epoch == 0:  # loop ended inside the trace window
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            pass
     meter.log_epoch_stats(cur_epoch)
     meter.reset()
     return state

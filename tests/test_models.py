@@ -266,3 +266,23 @@ def test_r2plus1d_tiny_forward():
     # Factored conv_b: spatial 1x3x3 then temporal 3x1x1.
     assert params["b_xy"]["kernel"].shape[:3] == (1, 3, 3)
     assert params["b_t"]["kernel"].shape[:3] == (3, 1, 1)
+
+
+def test_uniformer_rect_and_pm_forward():
+    """Rect (portrait-mode) input: the UniFormer grid derives from the
+    runtime shape (reference `uniformer_mods.py` rect-aware variant)."""
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "Uniformer"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.UNIFORMER.EMBED_DIM = [8, 16, 16, 32]
+    cfg.UNIFORMER.DEPTH = [1, 1, 1, 1]
+    cfg.UNIFORMER.HEAD_DIM = 8
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jnp.zeros((2, 4, 48, 32, 3))  # H > W rect crop
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 5)
+    # Transposed (landscape) orientation shares the same params.
+    xt = jnp.swapaxes(x, 2, 3)
+    out_t = model.apply(variables, xt, train=False)
+    assert out_t.shape == (2, 5)

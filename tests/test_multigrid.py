@@ -128,3 +128,28 @@ def test_bn_swap_state_adaptation():
     state_a = cu.adapt_state_across_bn(state_b, template_a)
     state_a, m = step_a(state_a, batch, rng, 1e-3)
     assert not bool(m["nan"])
+
+
+def test_short_cycle_loader_batches():
+    """ShortCycleBatchSampler semantics (`multigrid_helper.py`): batch sizes
+    cycle [bs*f0, bs*f1, bs] and crops shrink in the short phases."""
+    import pmv_tpu.data  # noqa: F401  (register datasets)
+    from pmv_tpu.data.loader import construct_loader
+
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.MULTIGRID.SHORT_CYCLE = True
+    cfg.MULTIGRID.SHORT_CYCLE_FACTORS = [0.5, 0.5 ** 0.5]
+    cfg.MULTIGRID.DEFAULT_S = 16
+    loader = construct_loader(cfg, "train")
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    # factors: (16/(0.5*16))^2 = 4, (16/(0.707*16))^2 = 2.
+    shapes = [(b["frames"].shape[0], b["frames"].shape[2]) for b in batches[:3]]
+    assert shapes[0] == (8, 8)    # bs*4, crop 8
+    assert shapes[1] == (4, 11)   # bs*2, crop round(0.707*16)=11
+    assert shapes[2] == (2, 16)   # base

@@ -48,6 +48,7 @@ VARIANTS = {
     "f32": lambda c: _set(c, [("TPU.COMPUTE_DTYPE", "float32")]),
     "bs16": lambda c: c,  # handled specially: batch 16
     "bs32": lambda c: c,  # handled specially: batch 32
+    "bs64": lambda c: c,  # handled specially: batch 64
     "donate": lambda c: c,  # handled specially: donated state buffers
     "no_clip": lambda c: _set(c, [("SOLVER.CLIP_GRAD_L2NORM", 0.0)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
@@ -90,7 +91,7 @@ def time_variant(name):
     from pmv_tpu.parallel import mesh as mesh_lib
 
     cfg = VARIANTS[name](base_cfg())
-    batch_size = {"bs16": 16, "bs32": 32}.get(name, BATCH)
+    batch_size = {"bs16": 16, "bs32": 32, "bs64": 64}.get(name, BATCH)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     batch = make_batch(cfg, batch_size)

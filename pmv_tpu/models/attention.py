@@ -50,9 +50,10 @@ def interpolate_rel_pos(rel_pos, d):
 def rel_q_tables_spatial(q, q_shape, k_shape, rel_pos_h, rel_pos_w, has_cls_embed):
     """Per-query-row spatial rel-pos tables (rel_h_q, rel_w_q).
 
-    q: [B, heads, Nq, C]. Returns ([B, heads, q_n, k_h], [B, heads, q_n, k_w])
-    for the token rows (cls excluded). Matches `attention.py:67-117` up to
-    the bias expansion.
+    q: [B, Nq, heads, C] (tokens-major, heads folded next to channels — the
+    module's transpose-free layout). Returns ([B, q_n, heads, k_h],
+    [B, q_n, heads, k_w]) for the token rows (cls excluded). Matches
+    `attention.py:67-117` up to the bias expansion.
     """
     sp_idx = 1 if has_cls_embed else 0
     q_t, q_h, q_w = q_shape
@@ -76,19 +77,19 @@ def rel_q_tables_spatial(q, q_shape, k_shape, rel_pos_h, rel_pos_w, has_cls_embe
     Rh = interpolate_rel_pos(rel_pos_h, dh)[dist_h.astype(np.int64)]  # [qh, kh, C]
     Rw = interpolate_rel_pos(rel_pos_w, dw)[dist_w.astype(np.int64)]  # [qw, kw, C]
 
-    B, n_head, _, dim = q.shape
-    r_q = q[:, :, sp_idx:].reshape(B, n_head, q_t, q_h, q_w, dim)
-    rel_h_q = jnp.einsum("bythwc,hkc->bythwk", r_q, Rh.astype(q.dtype))
-    rel_w_q = jnp.einsum("bythwc,wkc->bythwk", r_q, Rw.astype(q.dtype))
+    B, _, n_head, dim = q.shape
+    r_q = q[:, sp_idx:].reshape(B, q_t, q_h, q_w, n_head, dim)
+    rel_h_q = jnp.einsum("bthwyc,hkc->bthwyk", r_q, Rh.astype(q.dtype))
+    rel_w_q = jnp.einsum("bthwyc,wkc->bthwyk", r_q, Rw.astype(q.dtype))
     q_n = q_t * q_h * q_w
     return (
-        rel_h_q.reshape(B, n_head, q_n, k_h),
-        rel_w_q.reshape(B, n_head, q_n, k_w),
+        rel_h_q.reshape(B, q_n, n_head, k_h),
+        rel_w_q.reshape(B, q_n, n_head, k_w),
     )
 
 
 def rel_q_table_temporal(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
-    """Per-query-row temporal rel-pos table [B, heads, q_n, k_t]
+    """Per-query-row temporal rel-pos table [B, q_n, heads, k_t]
     (`attention.py:120-159` up to the bias expansion)."""
     sp_idx = 1 if has_cls_embed else 0
     q_t, q_h, q_w = q_shape
@@ -101,10 +102,10 @@ def rel_q_table_temporal(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
     )
     dist_t += (k_t - 1) * k_t_ratio
     Rt = interpolate_rel_pos(rel_pos_t, dt)[dist_t.astype(np.int64)]  # [qt, kt, C]
-    B, n_head, _, dim = q.shape
-    r_q = q[:, :, sp_idx:].reshape(B, n_head, q_t, q_h, q_w, dim)
-    rel = jnp.einsum("bythwc,tkc->bythwk", r_q, Rt.astype(q.dtype))
-    return rel.reshape(B, n_head, q_t * q_h * q_w, k_t)
+    B, _, n_head, dim = q.shape
+    r_q = q[:, sp_idx:].reshape(B, q_t, q_h, q_w, n_head, dim)
+    rel = jnp.einsum("bthwyc,tkc->bthwyk", r_q, Rt.astype(q.dtype))
+    return rel.reshape(B, q_t * q_h * q_w, n_head, k_t)
 
 
 def rel_pos_spatial_bias(
@@ -121,10 +122,11 @@ def rel_pos_spatial_bias(
     k_t, k_h, k_w = k_shape
     bias_h, bias_w = rel_q_tables_spatial(
         q, q_shape, k_shape, rel_pos_h, rel_pos_w, has_cls_embed
-    )
+    )  # [B, q_n, heads, k_h/k_w]
     bias_h = jnp.repeat(bias_h, k_w, axis=-1)  # [.., k_h*k_w]
     bias_w = jnp.tile(bias_w, (1, 1, 1, k_h))  # [.., k_h*k_w]
     bias = jnp.tile(bias_h + bias_w, (1, 1, 1, k_t))  # [.., kN]
+    bias = bias.transpose(0, 2, 1, 3)  # [B, heads, q_n, kN] (attn layout)
     if has_cls_embed:
         bias = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
     return bias
@@ -135,6 +137,7 @@ def rel_pos_temporal_bias(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
     k_t, k_h, k_w = k_shape
     bias = rel_q_table_temporal(q, q_shape, k_shape, rel_pos_t, has_cls_embed)
     bias = jnp.repeat(bias, k_h * k_w, axis=-1)  # [.., kN]
+    bias = bias.transpose(0, 2, 1, 3)  # [B, heads, q_n, kN]
     if has_cls_embed:
         bias = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
     return bias
@@ -181,20 +184,24 @@ class AttentionPool(nn.Module):
 
     @nn.compact
     def __call__(self, x, thw_shape) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
+        """x: [B, N, heads, C] tokens-major (transpose-free layout: the
+        fold to the [B, T, H, W, heads*C] conv grid and back is a pure
+        reshape, so no physical transpose is ever materialized)."""
         if self.is_identity():
             return x, tuple(thw_shape)
-        B, H, N, C = x.shape
+        B, N, H, C = x.shape
         T, Hh, Ww = thw_shape
         if self.has_cls_embed:
-            cls_tok, x = x[:, :, :1], x[:, :, 1:]
+            cls_tok, x = x[:, :1], x[:, 1:]
         padding = [(k // 2, k // 2) for k in self.kernel]
         if self.mode == "conv":
             # TPU layout: fold heads into channels (depthwise channels
             # H*C >= 128 fills VPU lanes; the reference folds heads into the
             # *batch*, `attention.py:13-49`). The per-head weights are shared
             # in the reference, so the folded kernel is the head-dim kernel
-            # tiled H times — numerically identical.
-            x = jnp.moveaxis(x, 1, 3).reshape(B, T, Hh, Ww, H * C)
+            # tiled H times — numerically identical. The fold must be
+            # h-major (folded j = h*C + c) to line up with that tiling.
+            x = x.reshape(B, T, Hh, Ww, H * C)
             kernel = self.param(
                 "pool_kernel",
                 trunc_normal_init(0.02),
@@ -256,9 +263,10 @@ class AttentionPool(nn.Module):
                     x = x[..., :hc]
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
             x = x.reshape(B, -1, H, C)
-            x = jnp.moveaxis(x, 2, 1)
         else:
-            x = x.reshape(B * H, T, Hh, Ww, C)
+            # Pooling is per-channel, so the folded H*C grid works for
+            # max/avg too — same free reshape as the conv path.
+            x = x.reshape(B, T, Hh, Ww, H * C)
             if self.mode == "max":
                 x = max_pool_3d(x, self.kernel, self.stride, padding)
             elif self.mode == "avg":
@@ -266,9 +274,9 @@ class AttentionPool(nn.Module):
             else:
                 raise NotImplementedError(f"Unsupported pool mode {self.mode}")
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
-            x = x.reshape(B, H, -1, C)
+            x = x.reshape(B, -1, H, C)
         if self.has_cls_embed:
-            x = jnp.concatenate([cls_tok, x], axis=2)
+            x = jnp.concatenate([cls_tok, x], axis=1)
         if self.mode == "conv" and not _DIAG_SKIP_POOL_LN:
             x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
         return x, new_thw
@@ -312,20 +320,20 @@ class MultiScaleAttention(nn.Module):
                 kernel_init=trunc_normal_init(0.02), name=name,
             )
 
+        # Tokens-major [B, N, heads, C] layout end-to-end: head split,
+        # pool grids, and the final merge are all pure reshapes; the only
+        # data movement XLA must schedule is inside the attention einsums.
         if self.pool_first:
             fold = self.num_heads
-            q = k = v = x.reshape(B, N, fold, -1).transpose(0, 2, 1, 3)
+            q = k = v = x.reshape(B, N, fold, -1)
         elif self.separate_qkv:
-            q = dense(self.dim_out, "q")(x).reshape(
-                B, N, self.num_heads, -1).transpose(0, 2, 1, 3)
-            k = dense(self.dim_out, "k")(x).reshape(
-                B, N, self.num_heads, -1).transpose(0, 2, 1, 3)
-            v = dense(self.dim_out, "v")(x).reshape(
-                B, N, self.num_heads, -1).transpose(0, 2, 1, 3)
+            q = dense(self.dim_out, "q")(x).reshape(B, N, self.num_heads, -1)
+            k = dense(self.dim_out, "k")(x).reshape(B, N, self.num_heads, -1)
+            v = dense(self.dim_out, "v")(x).reshape(B, N, self.num_heads, -1)
         else:
             qkv = dense(3 * self.dim_out, "qkv")(x)
-            qkv = qkv.reshape(B, N, 3, self.num_heads, -1).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]
+            qkv = qkv.reshape(B, N, 3, self.num_heads, -1)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         # Lane padding is exact but only gradient-safe in eval graphs.
         pad_lanes = deterministic and jax.default_backend() == "tpu"
@@ -354,9 +362,9 @@ class MultiScaleAttention(nn.Module):
         if self.pool_first:
             def refold(t, t_shape, name):
                 t_n = int(np.prod(t_shape)) + (1 if self.has_cls_embed else 0)
-                t = t.transpose(0, 2, 1, 3).reshape(B, t_n, -1)
+                t = t.reshape(B, t_n, -1)
                 t = dense(self.dim_out, name)(t)
-                return t.reshape(B, t_n, self.num_heads, -1).transpose(0, 2, 1, 3)
+                return t.reshape(B, t_n, self.num_heads, -1)
 
             q = refold(q, q_shape, "q")
             k = refold(k, k_shape, "k")
@@ -409,8 +417,8 @@ class MultiScaleAttention(nn.Module):
             # attention matrix never touches HBM (pmv_tpu/ops).
             from pmv_tpu.ops.attention_pallas import fused_rel_attention
 
-            B_, H_, Nq_, D_ = q.shape
-            Nk_ = k.shape[2]
+            B_, Nq_, H_, D_ = q.shape
+            Nk_ = k.shape[1]
             k_t, k_h, k_w = k_shape
             rh, rw = rel_q_tables_spatial(
                 q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
@@ -424,21 +432,27 @@ class MultiScaleAttention(nn.Module):
             )
             if self.has_cls_embed:
                 # cls row carries zero bias.
-                pad_row = ((0, 0), (0, 0), (1, 0), (0, 0))
+                pad_row = ((0, 0), (1, 0), (0, 0), (0, 0))
                 rh = jnp.pad(rh, pad_row)
                 rw = jnp.pad(rw, pad_row)
                 rt = jnp.pad(rt, pad_row) if rt is not None else None
+
+            def bh(t):  # [B, N, H, D] -> [B*H, N, D] for the kernel
+                return t.transpose(0, 2, 1, 3).reshape(
+                    B_ * H_, t.shape[1], -1
+                )
+
             # s = (q*scale) @ k^T + bias, where the bias tables come from
             # the *unscaled* q (reference semantics, `attention.py:413`).
             x = fused_rel_attention(
-                (q * scale).reshape(B_ * H_, Nq_, D_),
-                k.reshape(B_ * H_, Nk_, D_),
-                v.reshape(B_ * H_, Nk_, D_),
-                rh.reshape(B_ * H_, Nq_, -1),
-                rw.reshape(B_ * H_, Nq_, -1),
-                rt.reshape(B_ * H_, Nq_, -1) if rt is not None else None,
+                bh(q * scale),
+                bh(k),
+                bh(v),
+                bh(rh),
+                bh(rw),
+                bh(rt) if rt is not None else None,
                 1.0, k_t, k_h, k_w, self.has_cls_embed,
-            ).reshape(B_, H_, Nq_, D_)
+            ).reshape(B_, H_, Nq_, D_).transpose(0, 2, 1, 3)
         elif self.rel_pos_spatial:
             # Bias folded into the QK^T matmul: S = [q*scale | rcat] @
             # [k | E^T]^T where rcat = [rh|rw(|rt)] are the compact per-row
@@ -450,7 +464,7 @@ class MultiScaleAttention(nn.Module):
             from pmv_tpu.ops.attention_pallas import _expansion_matrix
 
             k_t, k_h, k_w = k_shape
-            nk = k.shape[2]
+            nk = k.shape[1]
             rh, rw = rel_q_tables_spatial(
                 q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
             )
@@ -461,10 +475,10 @@ class MultiScaleAttention(nn.Module):
                         q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
                     )
                 )
-            rcat = jnp.concatenate(tables, axis=-1)
+            rcat = jnp.concatenate(tables, axis=-1)  # [B, q_n, H, ext]
             if self.has_cls_embed:
                 # cls query row carries zero bias.
-                rcat = jnp.pad(rcat, ((0, 0), (0, 0), (1, 0), (0, 0)))
+                rcat = jnp.pad(rcat, ((0, 0), (1, 0), (0, 0), (0, 0)))
             E, _ = _expansion_matrix(
                 k_t, k_h, k_w, nk, nk, self.has_cls_embed,
                 with_rt=self.rel_pos_temporal,
@@ -473,30 +487,30 @@ class MultiScaleAttention(nn.Module):
                 [q * scale, rcat.astype(q.dtype)], axis=-1
             )
             e_bh = jnp.broadcast_to(
-                jnp.asarray(E.T, q.dtype),
-                (q.shape[0], q.shape[1]) + E.T.shape,
+                jnp.asarray(E.T, q.dtype)[None, :, None, :],
+                (B, nk, self.num_heads, E.shape[0]),
             )
             k_ext = jnp.concatenate([k, e_bh], axis=-1)
-            attn = q_ext @ k_ext.transpose(0, 1, 3, 2)
+            attn = jnp.einsum("bqhc,bkhc->bhqk", q_ext, k_ext)
             attn = jax.nn.softmax(attn, axis=-1)
-            x = attn @ v
+            x = jnp.einsum("bhqk,bkhc->bqhc", attn, v)
         else:
-            attn = (q * scale) @ k.transpose(0, 1, 3, 2)
+            attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
             if self.rel_pos_temporal:
                 attn = attn + rel_pos_temporal_bias(
                     q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
                 )
             attn = jax.nn.softmax(attn, axis=-1)
-            x = attn @ v
+            x = jnp.einsum("bhqk,bkhc->bqhc", attn, v)
 
         if self.residual_pooling:
             # `attention.py:450-454`: add pooled q (skipping cls row when on).
             if self.has_cls_embed:
-                x = x.at[:, :, 1:, :].add(q[:, :, 1:, :])
+                x = x.at[:, 1:].add(q[:, 1:])
             else:
                 x = x + q
 
-        x = x.transpose(0, 2, 1, 3).reshape(B, -1, self.dim_out)
+        x = x.reshape(B, -1, self.dim_out)
         x = nn.Dense(
             self.dim_out, dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02), name="proj",

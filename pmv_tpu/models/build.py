@@ -13,6 +13,10 @@ MODEL_REGISTRY = Registry("MODEL")
 
 
 def compute_dtype(cfg):
+    # TRAIN.MIXED_PRECISION off -> full f32 activations (the reference's
+    # no-autocast mode, `config/defaults.py` TRAIN.MIXED_PRECISION).
+    if not cfg.TRAIN.MIXED_PRECISION:
+        return jnp.float32
     return {
         "bfloat16": jnp.bfloat16,
         "float32": jnp.float32,

@@ -55,7 +55,9 @@ def test_spatial_bias_matches_naive():
         q = jax.random.normal(rng, (2, 3, n, 8))
         rel_h = jax.random.normal(jax.random.PRNGKey(1), (2 * 4 - 1, 8))
         rel_w = jax.random.normal(jax.random.PRNGKey(2), (2 * 3 - 1, 8))
-        fast = rel_pos_spatial_bias(q, q_shape, k_shape, rel_h, rel_w, has_cls)
+        fast = rel_pos_spatial_bias(
+            q.transpose(0, 2, 1, 3), q_shape, k_shape, rel_h, rel_w, has_cls
+        )  # module layout is [B, N, heads, C]
         naive = _naive_spatial(q, q_shape, k_shape, rel_h, rel_w, has_cls)
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(naive), atol=1e-5
@@ -69,7 +71,9 @@ def test_temporal_bias_matches_naive():
         n = int(np.prod(q_shape)) + (1 if has_cls else 0)
         q = jax.random.normal(rng, (2, 2, n, 8))
         rel_t = jax.random.normal(jax.random.PRNGKey(1), (2 * 3 - 1, 8))
-        fast = rel_pos_temporal_bias(q, q_shape, k_shape, rel_t, has_cls)
+        fast = rel_pos_temporal_bias(
+            q.transpose(0, 2, 1, 3), q_shape, k_shape, rel_t, has_cls
+        )
         # Naive: broadcast over kh, kw.
         sp = 1 if has_cls else 0
         q_t, q_h, q_w = q_shape

@@ -128,3 +128,38 @@ def test_dw_shifted_matches_xla(kernel, stride):
     np.testing.assert_allclose(
         np.asarray(g[1]).ravel(), np.asarray(g_ref[1]).ravel(), atol=1e-3
     )
+
+
+def test_attention_pool_head_fold_matches_per_head_reference():
+    """Head-folded depthwise pool == per-head shared-weight conv + LN
+    (reference folds heads into the *batch*, `attention.py:13-49`).
+    Regression: a c-major fold permuted head/channel pairs for H > 1."""
+    from pmv_tpu.models.attention import AttentionPool
+
+    B, H, C = 1, 3, 5
+    T, Hh, Ww = 8, 4, 4
+    N = T * Hh * Ww
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, N, H, C)).astype(np.float32)
+    )
+    pool = AttentionPool(
+        kernel=(3, 3, 3), stride=(1, 1, 1), mode="conv",
+        has_cls_embed=False, dtype=jnp.float32,
+    )
+    params = pool.init(jax.random.PRNGKey(0), x, (T, Hh, Ww))
+    out, _ = pool.apply(params, x, (T, Hh, Ww))
+    w = params["params"]["pool_kernel"]
+    ln_s = params["params"]["norm"]["scale"]
+    ln_b = params["params"]["norm"]["bias"]
+    ref = []
+    for h in range(H):
+        xh = x[:, :, h].reshape(B, T, Hh, Ww, C)
+        o = _xla_conv(xh, w.reshape(3, 3, 3, 1, C), (1, 1, 1), [(1, 1)] * 3)
+        ref.append(o.reshape(B, -1, C))
+    ref = jnp.stack(ref, axis=2)  # [B, N', H, C] module layout
+    mean = ref.mean(-1, keepdims=True)
+    var = ref.var(-1, keepdims=True)
+    ref_ln = (ref - mean) / jnp.sqrt(var + 1e-6) * ln_s + ln_b
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_ln), atol=1e-5
+    )

@@ -96,8 +96,9 @@ def main():
     rh = jnp.asarray(rng.normal(size=(111, 96)), jnp.bfloat16)
     rt = jnp.asarray(rng.normal(size=(15, 96)), jnp.bfloat16)
     def bias_fn(q):
-        b = rel_pos_spatial_bias(q, (8, 56, 56), (8, 7, 7), rh, rh, True)
-        b = b + rel_pos_temporal_bias(q, (8, 56, 56), (8, 7, 7), rt, True)
+        qn = q.transpose(0, 2, 1, 3)  # module layout is [B, N, heads, C]
+        b = rel_pos_spatial_bias(qn, (8, 56, 56), (8, 7, 7), rh, rh, True)
+        b = b + rel_pos_temporal_bias(qn, (8, 56, 56), (8, 7, 7), rt, True)
         return jnp.sum(b.astype(jnp.float32))
     ms = marginal(bias_fn, q, k=1)
     results["relpos_bias_b0"] = f"{ms:.3f} ms"

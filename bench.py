@@ -43,11 +43,11 @@ def main():
         cfg = _mvitv2_s_cfg(tiny=True)
         batch_size = 8
     else:
-        # Swept on v5e: per-clip step time improves through bs 32
-        # (bs8 153.8ms, bs16 309.9, bs32 585.9 -> 54.6 clips/s/chip; bs64
-        # fails to compile). The reference recipe is bs 32/node over 8 GPUs
+        # Swept on v5e post layout-refactor: bs8 116.0 ms (69 clips/s)
+        # beats bs32 (64.3 clips/s); bs64 fails server-side compile. The
+        # reference recipe is bs 32/node over 8 GPUs = 4/device
         # (`exps/PMV/run_MViT_PMV.sh`).
-        batch_size = 32
+        batch_size = 8
 
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)

@@ -286,3 +286,14 @@ def test_uniformer_rect_and_pm_forward():
     xt = jnp.swapaxes(x, 2, 3)
     out_t = model.apply(variables, xt, train=False)
     assert out_t.shape == (2, 5)
+
+
+def test_mixed_precision_flag_controls_dtype():
+    """TRAIN.MIXED_PRECISION False -> f32 activations regardless of
+    TPU.COMPUTE_DTYPE (the reference's no-autocast mode)."""
+    from pmv_tpu.models.build import compute_dtype
+
+    cfg = get_cfg()
+    assert compute_dtype(cfg) == jnp.bfloat16
+    cfg.TRAIN.MIXED_PRECISION = False
+    assert compute_dtype(cfg) == jnp.float32

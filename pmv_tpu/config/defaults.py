@@ -66,6 +66,9 @@ _C.TEST.DATASET = "kinetics"
 _C.TEST.BATCH_SIZE = 8
 _C.TEST.CHECKPOINT_FILE_PATH = ""
 _C.TEST.NUM_ENSEMBLE_VIEWS = 10
+# Per-protocol temporal-clip sweep: when non-empty, test() runs once per
+# entry with that many ensemble views (`test_net.py:400-401` sweep).
+_C.TEST.NUM_TEMPORAL_CLIPS = []
 _C.TEST.NUM_SPATIAL_CROPS = 3
 _C.TEST.CHECKPOINT_TYPE = "pytorch"
 _C.TEST.SAVE_RESULTS_PATH = ""
@@ -96,6 +99,8 @@ _C.MODEL.SINGLE_PATHWAY_ARCH = [
     "csn", "r2plus1d",
 ]
 _C.MODEL.MULTI_PATHWAY_ARCH = ["slowfast", "avslowfast"]
+# Accepted for config parity; on TPU, XLA chooses collective precision.
+_C.MODEL.FP16_ALLREDUCE = False
 _C.MODEL.ACT_CHECKPOINT = False  # remat MViT blocks via jax.checkpoint
 _C.MODEL.DETACH_FINAL_FC = False
 _C.MODEL.FROZEN_BN = False
@@ -171,6 +176,13 @@ _C.UNIFORMER.SPLIT = False
 _C.UNIFORMER.STD = False
 _C.UNIFORMER.FRAME_BASE = False
 _C.UNIFORMER.PRETRAIN_NAME = ""
+# Fork extras (`Uniformer/slowfast/config/defaults.py:419-459`): stem patch
+# geometry overrides ([] = built-in 4/2 stems) and stage kinds (0 = conv
+# CBlock, 1 = self-attention SABlock).
+_C.UNIFORMER.PATCH_KERNEL = []
+_C.UNIFORMER.PATCH_STRIDE = []
+_C.UNIFORMER.PATCH_PADDING = []
+_C.UNIFORMER.STAGE_TYPE = [0, 0, 1, 1]
 
 # ------------------------------------------------------------------------ X3D
 _C.X3D = CfgNode()
@@ -185,6 +197,8 @@ _C.X3D.CHANNELWISE_3x3x3 = True
 
 # --------------------------------------------------------------------- RESNET
 _C.RESNET = CfgNode()
+_C.RESNET.AUDIO_TRANS_FUNC = "tf_bottleneck_transform"
+_C.RESNET.AUDIO_TRANS_NUM = 2
 _C.RESNET.TRANS_FUNC = "bottleneck_transform"
 _C.RESNET.NUM_GROUPS = 1
 _C.RESNET.WIDTH_PER_GROUP = 64
@@ -294,6 +308,20 @@ _C.DATA.RANDOM_FLIP = True
 _C.DATA.MULTI_LABEL = False
 _C.DATA.ENSEMBLE_METHOD = "sum"
 _C.DATA.REVERSE_INPUT_CHANNEL = False
+_C.DATA.CROP_SIZE = 224
+_C.DATA.DECODING_SHORT_SIZE = 256
+_C.DATA.EASY_NEG_RATIO = 0.75
+_C.DATA.MIX_NEG_EPOCH = 96
+_C.DATA.PATH_TO_PRELOAD_IMDB = ""
+_C.DATA.TRAIN_JITTER_FPS = 0.0
+# PCA lighting-jitter statistics (AlexNet-style, `defaults.py:703-712`).
+_C.DATA.TRAIN_PCA_EIGVAL = [0.225, 0.224, 0.229]
+_C.DATA.TRAIN_PCA_EIGVEC = [
+    [-0.5675, 0.7192, 0.4009],
+    [-0.5808, -0.0045, -0.8140],
+    [-0.5836, -0.6948, 0.4203],
+]
+_C.DATA.USE_BGR_ORDER = False
 _C.DATA.USE_OFFSET_SAMPLING = False
 _C.DATA.TRAIN_CROP_NUM_TEMPORAL = 1
 _C.DATA.TRAIN_CROP_NUM_SPATIAL = 1
@@ -335,6 +363,7 @@ _C.SOLVER.WARMUP_START_LR = 0.01
 _C.SOLVER.OPTIMIZING_METHOD = "sgd"
 _C.SOLVER.LARS_ON = False
 _C.SOLVER.BASE_LR_SCALE_NUM_SHARDS = False
+_C.SOLVER.BASE_LR_SCALE_NUM_SHARDS_BY_SQRT = False
 _C.SOLVER.CLIP_GRAD_VAL = None
 _C.SOLVER.CLIP_GRAD_L2NORM = None
 # UniFormer fork alias for CLIP_GRAD_L2NORM.
@@ -399,6 +428,7 @@ _C.AVA.IMG_PROC_BACKEND = "pil"
 _C.MULTIGRID = CfgNode()
 _C.MULTIGRID.LONG_CYCLE = False
 _C.MULTIGRID.SHORT_CYCLE = False
+_C.MULTIGRID.LONG_CYCLE_SAMPLING_RATE = 0
 _C.MULTIGRID.LONG_CYCLE_FACTORS = [
     (0.25, 0.7071067811865476),
     (0.5, 0.7071067811865476),
@@ -435,6 +465,9 @@ _C.CONTRASTIVE.SEQUENTIAL = False
 _C.CONTRASTIVE.SIMCLR_DIST_ON = True
 _C.CONTRASTIVE.SWAV_QEUE_LEN = 0
 _C.CONTRASTIVE.KNN_ON = True
+_C.CONTRASTIVE.INTERP_MEMORY = False
+_C.CONTRASTIVE.MEM_TYPE = "1d"
+_C.CONTRASTIVE.NUM_CLASSES_DOWNSTREAM = 400
 _C.CONTRASTIVE.KNN_DOWNSTREAM_SIZE = 239975
 
 # ----------------------------------------------------------------------- MASK
@@ -448,8 +481,11 @@ _C.MASK.NORM_PRED_PIXEL = True
 _C.MASK.SCALE_INIT_BY_DEPTH = False
 _C.MASK.PRETRAIN_DEPTH = [15]
 _C.MASK.HEAD_TYPE = "separate"
-_C.MASK.DEC_EMBED_DIM = 256
-_C.MASK.DEC_DEPTH = 0
+_C.MASK.DECODER_EMBED_DIM = 512
+_C.MASK.DECODER_DEPTH = 0
+_C.MASK.DECODER_SEP_POS_EMBED = False
+_C.MASK.DEC_KV_KERNEL = []
+_C.MASK.DEC_KV_STRIDE = []
 _C.MASK.DEC_NUM_HEADS = 1
 _C.MASK.PRED_HOG = False
 _C.MASK.HOG_NBINS = 9
@@ -492,6 +528,10 @@ _C.TENSORBOARD.WRONG_PRED_VIS.ENABLE = False
 _C.TENSORBOARD.WRONG_PRED_VIS.TAG = "Incorrectly classified videos."
 _C.TENSORBOARD.WRONG_PRED_VIS.SUBSET_PATH = ""
 
+# ------------------------------------------------------------------- VIS_MASK
+_C.VIS_MASK = CfgNode()
+_C.VIS_MASK.ENABLE = False
+
 # ----------------------------------------------------------------------- DEMO
 _C.DEMO = CfgNode()
 _C.DEMO.ENABLE = False
@@ -506,6 +546,16 @@ _C.DEMO.OUTPUT_FILE = ""
 _C.DEMO.CLIP_VIS_SIZE = 10
 _C.DEMO.NUM_VIS_INSTANCES = 2
 _C.DEMO.THREAD_ENABLE = False
+# Person-detector settings (the reference uses Detectron2; accepted for
+# config parity — this framework's AVA demo consumes precomputed boxes).
+_C.DEMO.DETECTRON2_CFG = "COCO-Detection/faster_rcnn_R_50_FPN_3x.yaml"
+_C.DEMO.DETECTRON2_WEIGHTS = (
+    "detectron2://COCO-Detection/faster_rcnn_R_50_FPN_3x/137849458/"
+    "model_final_280758.pkl"
+)
+_C.DEMO.DETECTRON2_THRESH = 0.9
+_C.DEMO.FPS = 30
+_C.DEMO.INPUT_FORMAT = "BGR"
 _C.DEMO.NUM_CLIPS_SKIP = 0
 _C.DEMO.COMMON_CLASS_NAMES = []
 _C.DEMO.SLOWMO = 1
@@ -558,13 +608,13 @@ def assert_and_infer_cfg(cfg):
     # TRAIN assertions.
     assert cfg.TRAIN.BATCH_SIZE % max(cfg.NUM_GPUS, 1) == 0
 
-    # Scale LR by the number of shards: linear when enabled, sqrt otherwise
-    # only for >1 shards (reference `defaults.py:1344-1352`).
-    if cfg.NUM_SHARDS > 1:
-        if cfg.SOLVER.BASE_LR_SCALE_NUM_SHARDS:
-            factor = float(cfg.NUM_SHARDS)
-        else:
+    # Scale LR by the number of shards when requested: linear, or sqrt with
+    # BASE_LR_SCALE_NUM_SHARDS_BY_SQRT (reference `defaults.py:1344-1352`).
+    if cfg.SOLVER.BASE_LR_SCALE_NUM_SHARDS:
+        if cfg.SOLVER.BASE_LR_SCALE_NUM_SHARDS_BY_SQRT:
             factor = math.sqrt(float(cfg.NUM_SHARDS))
+        else:
+            factor = float(cfg.NUM_SHARDS)
         cfg.SOLVER.BASE_LR *= factor
         cfg.SOLVER.WARMUP_START_LR *= factor
         cfg.SOLVER.COSINE_END_LR *= factor

@@ -157,6 +157,21 @@ def gaussian_blur(key, x, sigma_min=0.1, sigma_max=2.0, radius=5):
     return blur_axis(blur_axis(x, 2), 3)  # H then W
 
 
+def lighting_jitter(key, x, alphastd, eigval, eigvec, scale=255.0):
+    """AlexNet-style PCA lighting jitter (`transform.py:583-620`): one
+    alpha draw per sample, per-channel offset rgb_c = sum_j eigvec[c,j] *
+    alpha_j * eigval_j. `scale` adapts the reference's [0,1] domain to the
+    on-device [0,255] pipeline."""
+    if alphastd == 0:
+        return x
+    b = x.shape[0]
+    alpha = alphastd * jax.random.normal(key, (b, 3))
+    ev = jnp.asarray(eigval, jnp.float32)
+    evec = jnp.asarray(eigvec, jnp.float32)
+    rgb = jnp.einsum("cj,bj->bc", evec, alpha * ev[None, :]) * scale
+    return x + rgb[:, None, None, None, :]
+
+
 def temporal_difference(x, use_grayscale=True, absolute=False):
     """Frame differencing (`transform.py:1263-1287`): out[t] = x[t] - x[t+1],
     last frame repeats the previous difference."""

@@ -246,15 +246,31 @@ class Kinetics:
         num_temporal = (
             cfg.DATA.TRAIN_CROP_NUM_TEMPORAL if self.mode == "train" else 1
         )
+        # Multigrid long cycles raise the sampling rate randomly so short
+        # clips can cover the original span (`utils.py:394-403`); fps jitter
+        # perturbs the resampling target (`kinetics.py:349-351`).
+        sampling_rate = cfg.DATA.SAMPLING_RATE
+        if (
+            self.mode == "train"
+            and cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE > sampling_rate
+        ):
+            sampling_rate = int(
+                rng.integers(
+                    sampling_rate, cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE + 1
+                )
+            )
+        target_fps = cfg.DATA.TARGET_FPS
+        if self.mode == "train" and cfg.DATA.TRAIN_JITTER_FPS > 0.0:
+            target_fps += float(rng.uniform(0.0, cfg.DATA.TRAIN_JITTER_FPS))
         if num_temporal > 1:
             frames, fracs = video_decoder.decode_multi_clip(
                 reader,
-                cfg.DATA.SAMPLING_RATE,
+                sampling_rate,
                 cfg.DATA.NUM_FRAMES,
                 num_views=num_temporal,
                 min_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MIN,
                 max_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MAX,
-                target_fps=cfg.DATA.TARGET_FPS,
+                target_fps=target_fps,
                 use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
                 out_w=out_w,
                 out_h=out_h,
@@ -264,13 +280,13 @@ class Kinetics:
         else:
             frames, time_frac = video_decoder.decode_clip(
                 reader,
-                cfg.DATA.SAMPLING_RATE,
+                sampling_rate,
                 cfg.DATA.NUM_FRAMES,
                 clip_idx=temporal_idx,
                 num_clips=(
                     cfg.TEST.NUM_ENSEMBLE_VIEWS if is_test else 1
                 ),
-                target_fps=cfg.DATA.TARGET_FPS,
+                target_fps=target_fps,
                 use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
                 out_w=out_w,
                 out_h=out_h,

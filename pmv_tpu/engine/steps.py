@@ -52,8 +52,29 @@ def make_preprocess_fn(cfg, train: bool):
     # so >= NUM_SAMPLE groups give each copy of a clip a different op chain.
     ra_groups = max(2, cfg.AUG.NUM_SAMPLE)
 
+    use_ava_color = (
+        train
+        and cfg.DETECTION.ENABLE
+        and cfg.AVA.TRAIN_USE_COLOR_AUGMENTATION
+    )
+
     def preprocess(key, frames):
         x = frames.astype(jnp.float32)
+        if cfg.DATA.USE_BGR_ORDER:
+            x = x[..., ::-1]
+        if use_ava_color:
+            # AVA color aug (`ava_dataset.py:318-332`): optional bri/con/sat
+            # jitter, then PCA lighting jitter.
+            from pmv_tpu.data.color_jitter import color_jitter, lighting_jitter
+
+            if not cfg.AVA.TRAIN_PCA_JITTER_ONLY:
+                k_cj0, key = jax.random.split(key)
+                x = color_jitter(k_cj0, x, 0.4, 0.4, 0.4, hue=0.0)
+            k_lj, key = jax.random.split(key)
+            x = lighting_jitter(
+                k_lj, x, 0.1,
+                cfg.DATA.TRAIN_PCA_EIGVAL, cfg.DATA.TRAIN_PCA_EIGVEC,
+            )
         if use_td:
             # Decode-time raw-frame aug (`decoder.py:644` augment_raw_frames).
             from pmv_tpu.data.color_jitter import augment_time_difference

@@ -192,6 +192,49 @@ def test_one(cfg, state, model, model_port, mesh, rel_ratio=None):
     return stats
 
 
+def visualize_mask_reconstruction(cfg, model, test_loader, example, rng):
+    """VIS_MASK.ENABLE: MAE (original | masked | reconstructed) comparisons
+    (`test_net.py:140` + `masked.py:505-535`), written to TensorBoard and
+    OUTPUT_DIR as .npy."""
+    import jax.numpy as jnp
+
+    from pmv_tpu.engine import ssl_steps
+    from pmv_tpu.models.masked import mae_visualize
+    from pmv_tpu.utils import checkpoint as cu_mod
+
+    state, _ = ssl_steps.init_masked_state(cfg, model, example, rng)
+    state = cu_mod.load_test_checkpoint(cfg, state)
+
+    writer = None
+    if cfg.TENSORBOARD.ENABLE:
+        from pmv_tpu.visualization.tensorboard_vis import TensorboardWriter
+
+        writer = TensorboardWriter(cfg)
+    out_paths = []
+    for cur_iter, batch in enumerate(test_loader):
+        x = jnp.asarray(batch["frames"].astype(np.float32))
+        pred, _, mask = model.apply(
+            {"params": state.params}, x, train=False,
+            rngs={"mask": jax.random.fold_in(rng, cur_iter)},
+        )
+        comp = np.asarray(mae_visualize(cfg, x, pred, mask))
+        path = os.path.join(cfg.OUTPUT_DIR, f"vis_mask_{cur_iter:04d}.npy")
+        np.save(path, comp)
+        out_paths.append(path)
+        if writer is not None:
+            b, three, t, h, w, c = comp.shape
+            writer.add_video(
+                comp.reshape(b * three, t, h, w, c)[:6],
+                tag="mae_reconstruction", global_step=cur_iter,
+            )
+        if cur_iter >= 3:  # bounded visualization sweep
+            break
+    if writer is not None:
+        writer.close()
+    logger.info("VIS_MASK wrote %d comparison stacks", len(out_paths))
+    return out_paths
+
+
 def test(cfg):
     """Multi-view test entry (mirrors `tools/test_net.py` test)."""
     pmv_logging.setup_logging(cfg.OUTPUT_DIR)
@@ -210,6 +253,10 @@ def test(cfg):
     # Init from one test batch's geometry.
     test_loader = loader_mod.construct_loader(cfg, "test")
     example = next(iter(test_loader))
+    if cfg.VIS_MASK.ENABLE and cfg.MODEL.MODEL_NAME == "MaskMViT":
+        return visualize_mask_reconstruction(
+            cfg, model, test_loader, example, rng
+        )
     if cfg.DETECTION.ENABLE:
         import jax.numpy as jnp
 

@@ -49,6 +49,20 @@ def train_epoch(
         lr = get_lr_at_epoch(cfg, epoch_exact)
         keep = {"frames", "labels", "pm", "boxes", "box_mask", "index",
                 "audio", "audio_mis"}
+        if "audio_mis" in batch and cfg.DATA.GET_MISALIGNED_AUDIO:
+            # AVS easy negatives (`loader.py:25-43`): before MIX_NEG_EPOCH
+            # every row takes the *next* sample's misaligned audio (easy,
+            # different video); afterwards only the first EASY_NEG_RATIO
+            # fraction does, leaving same-video hard negatives.
+            n = batch["audio_mis"].shape[0]
+            sn = (
+                max(int(cfg.DATA.EASY_NEG_RATIO * n), 1)
+                if cur_epoch >= cfg.DATA.MIX_NEG_EPOCH
+                else n
+            )
+            idx = np.arange(n)
+            idx[:sn] = np.arange(1, sn + 1) % sn
+            batch["audio_mis"] = batch["audio_mis"][idx]
         device_batch = mesh_lib.shard_batch(
             {k: v for k, v in batch.items() if k in keep}, mesh
         )

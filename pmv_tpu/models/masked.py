@@ -162,7 +162,7 @@ class MaskMViT(nn.Module):
                 method="nearest",
             )
             feats = grid.reshape(b, n_tok, -1)
-        if cfg.MASK.DEC_DEPTH > 0:
+        if cfg.MASK.DECODER_DEPTH > 0:
             # Decoder stack (`masked.py:78-120`): project to the decoder
             # width, add a learned decoder pos embed, run plain transformer
             # blocks over the full token grid (mask tokens already carry the
@@ -170,28 +170,98 @@ class MaskMViT(nn.Module):
             # is static, no gather/scatter).
             from pmv_tpu.models.attention import MultiScaleBlock
 
-            dec_dim = cfg.MASK.DEC_EMBED_DIM
+            dec_dim = cfg.MASK.DECODER_EMBED_DIM
             feats = nn.Dense(
                 dec_dim, dtype=self.dtype,
                 kernel_init=trunc_normal_init(0.02), name="decoder_embed",
             )(feats)
-            dec_pos = self.param(
-                "decoder_pos_embed", trunc_normal_init(0.02),
-                (1, n_tok, dec_dim),
-            )
+            if cfg.MASK.DECODER_SEP_POS_EMBED:
+                # Factorized decoder pos embed: spatial + temporal tables
+                # (`masked.py` DECODER_SEP_POS_EMBED).
+                pos_s = self.param(
+                    "decoder_pos_embed_spatial", trunc_normal_init(0.02),
+                    (1, h_tok * w_tok, dec_dim),
+                )
+                pos_t = self.param(
+                    "decoder_pos_embed_temporal", trunc_normal_init(0.02),
+                    (1, t_tok, dec_dim),
+                )
+                dec_pos = (
+                    jnp.tile(pos_s, (1, t_tok, 1))
+                    + jnp.repeat(pos_t, h_tok * w_tok, axis=1)
+                )
+            else:
+                dec_pos = self.param(
+                    "decoder_pos_embed", trunc_normal_init(0.02),
+                    (1, n_tok, dec_dim),
+                )
             feats = feats + dec_pos.astype(feats.dtype)
             thw_dec = (t_tok, h_tok, w_tok)
-            for i in range(cfg.MASK.DEC_DEPTH):
+            for i in range(cfg.MASK.DECODER_DEPTH):
                 feats, thw_dec = MultiScaleBlock(
                     dim=dec_dim, dim_out=dec_dim,
                     num_heads=cfg.MASK.DEC_NUM_HEADS,
                     input_size=thw_dec, has_cls_embed=False,
+                    kernel_kv=cfg.MASK.DEC_KV_KERNEL,
+                    stride_kv=cfg.MASK.DEC_KV_STRIDE,
                     dtype=self.dtype, name=f"decoder_blocks.{i}",
                 )(feats, thw_dec, not train)
         pred = MSSeparateHead(
             out_dim=target.shape[-1], dtype=self.dtype, name="pred_head"
         )(feats)
         return pred, target, mask
+
+
+def patchify_pixels(cfg, frames):
+    """[B, T, H, W, C] -> ([B, n_tok, D] pixel patches, geometry).
+    Mirrors the target construction (`masked.py:219-243`)."""
+    patch_t, patch_h, patch_w = cfg.MVIT.PATCH_STRIDE
+    frames_t = (
+        frames[:, ::patch_t] if cfg.MASK.TIME_STRIDE_LOSS else frames
+    )
+    b, tt, hh, ww, c = frames_t.shape
+    h_tok, w_tok = hh // patch_h, ww // patch_w
+    pt = 1 if cfg.MASK.TIME_STRIDE_LOSS else patch_t
+    t_tok = tt // pt
+    patches = frames_t[:, :, : h_tok * patch_h, : w_tok * patch_w]
+    patches = patches.reshape(
+        b, t_tok, pt, h_tok, patch_h, w_tok, patch_w, c
+    )
+    patches = patches.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b, t_tok * h_tok * w_tok, -1
+    )
+    geom = (t_tok, h_tok, w_tok, pt, patch_h, patch_w, c)
+    return patches, geom
+
+
+def unpatchify_pixels(patches, geom):
+    """Inverse of patchify_pixels: [B, n_tok, D] -> [B, T', H', W', C]."""
+    t_tok, h_tok, w_tok, pt, ph, pw, c = geom
+    b = patches.shape[0]
+    x = patches.reshape(b, t_tok, h_tok, w_tok, pt, ph, pw, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, t_tok * pt, h_tok * ph, w_tok * pw, c)
+
+
+def mae_visualize(cfg, frames, pred, mask):
+    """(original | masked | reconstructed) comparison for VIS_MASK.ENABLE
+    (`masked.py:505-535` _mae_visualize). frames: [B, T, H, W, C] float in
+    [0, 255]; pred: [B, n_tok, D] pixel predictions; mask: [B, n_tok]
+    (True = masked). Returns [B, 3, T', H', W', C] uint8."""
+    patches, geom = patchify_pixels(cfg, frames.astype(jnp.float32))
+    m = mask.reshape(mask.shape[0], -1, 1).astype(jnp.float32)
+    pred = pred.astype(jnp.float32)
+    if cfg.MASK.NORM_PRED_PIXEL:
+        # Predictions are per-patch normalized; re-expand with the visible
+        # patch statistics for an approximate reconstruction.
+        mean = patches.mean(axis=-1, keepdims=True)
+        std = jnp.sqrt(patches.var(axis=-1, keepdims=True) + 1e-6)
+        pred = pred * std + mean
+    recon = unpatchify_pixels(pred * m + patches * (1 - m), geom)
+    masked = unpatchify_pixels(patches * (1 - m), geom)
+    orig = unpatchify_pixels(patches, geom)
+    comp = jnp.stack([orig, masked, recon], axis=1)
+    return jnp.clip(comp, 0, 255).astype(jnp.uint8)
 
 
 def masked_loss(pred, target, mask):

@@ -276,8 +276,12 @@ class Uniformer(nn.Module):
 
         # FRAME_BASE (`uniformer_frame.py` Uniformerframe): per-frame 2D
         # patch embeds (1xnxn stride) instead of the 3x4x4/s(2,4,4) stem.
+        # UNIFORMER.PATCH_KERNEL overrides the stem patch size when set
+        # (`uniformer_mods.py:353-359`).
+        pk = cfg.UNIFORMER.PATCH_KERNEL
+        patch1 = pk if isinstance(pk, int) else (pk[0] if len(pk) else 4)
         x = UniPatchEmbed(
-            dim_out=embed_dim[0], patch_size=4,
+            dim_out=embed_dim[0], patch_size=patch1,
             special=not cfg.UNIFORMER.FRAME_BASE,
             dtype=self.dtype, name="patch_embed1",
         )(x)

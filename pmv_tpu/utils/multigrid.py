@@ -72,8 +72,11 @@ class MultigridSchedule:
             cfg.BN.NORM_TYPE = "batchnorm"
 
         # Keep the clip duration constant: raise the sampling rate as the
-        # frame count shrinks.
-        cfg.DATA.SAMPLING_RATE = cfg.DATA.SAMPLING_RATE * max(
+        # frame count shrinks. Written to a separate key (the reference's
+        # `multigrid.py:99`) so DATA.SAMPLING_RATE stays pristine across
+        # cycle changes; datasets draw a random rate in
+        # [SAMPLING_RATE, LONG_CYCLE_SAMPLING_RATE] (`utils.py:394-403`).
+        cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE = cfg.DATA.SAMPLING_RATE * max(
             cfg.MULTIGRID.DEFAULT_T // cfg.DATA.NUM_FRAMES, 1
         )
         logger.info(

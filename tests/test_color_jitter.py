@@ -128,3 +128,24 @@ def test_preprocess_fn_with_ssl_jitter():
     out = jax.jit(pre)(jax.random.PRNGKey(0), frames)
     assert out.shape == frames.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lighting_jitter_mean_shift():
+    """PCA lighting: zero alphastd is identity; per-sample channel offset."""
+    x = _img(b=3)
+    eigval = [0.225, 0.224, 0.229]
+    eigvec = [
+        [-0.5675, 0.7192, 0.4009],
+        [-0.5808, -0.0045, -0.8140],
+        [-0.5836, -0.6948, 0.4203],
+    ]
+    out0 = cj.lighting_jitter(jax.random.PRNGKey(0), x, 0.0, eigval, eigvec)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x))
+    out = np.asarray(
+        cj.lighting_jitter(jax.random.PRNGKey(0), x, 0.1, eigval, eigvec)
+    )
+    # A constant per-(sample, channel) offset: variance unchanged per channel.
+    d = out - np.asarray(x)
+    for b in range(3):
+        for c in range(3):
+            assert d[b, ..., c].std() < 1e-3

@@ -55,7 +55,8 @@ def test_lr_scaling_by_shards():
     cfg2.SOLVER.BASE_LR = 1e-4
     cfg2.SOLVER.BASE_LR_SCALE_NUM_SHARDS = False
     cfg2 = assert_and_infer_cfg(cfg2)
-    assert cfg2.SOLVER.BASE_LR == pytest.approx(1e-4 * math.sqrt(4))
+    # No scaling unless requested (`defaults.py:1344-1352`).
+    assert cfg2.SOLVER.BASE_LR == pytest.approx(1e-4)
 
 
 def test_parser_surface():
@@ -88,3 +89,25 @@ def test_yaml_merge(tmp_path):
     assert cfg.MVIT.DEPTH == 16
     assert cfg.MVIT.DIM_MUL == [[1, 2.0], [3, 2.0], [14, 2.0]]
     assert cfg.SOLVER.BASE_LR == 0.0001
+
+
+def test_lr_scaling_by_num_shards_reference_semantics():
+    """Scaling applies only when BASE_LR_SCALE_NUM_SHARDS is set; sqrt via
+    BASE_LR_SCALE_NUM_SHARDS_BY_SQRT (`defaults.py:1344-1352`)."""
+    import math
+
+    from pmv_tpu.config import assert_and_infer_cfg, get_cfg
+
+    cfg = get_cfg()
+    cfg.NUM_SHARDS = 4
+    base = cfg.SOLVER.BASE_LR
+    cfg2 = assert_and_infer_cfg(cfg.clone())
+    assert cfg2.SOLVER.BASE_LR == base  # no flag -> no scaling
+
+    cfg.SOLVER.BASE_LR_SCALE_NUM_SHARDS = True
+    cfg3 = assert_and_infer_cfg(cfg.clone())
+    assert abs(cfg3.SOLVER.BASE_LR - base * 4) < 1e-9
+
+    cfg.SOLVER.BASE_LR_SCALE_NUM_SHARDS_BY_SQRT = True
+    cfg4 = assert_and_infer_cfg(cfg.clone())
+    assert abs(cfg4.SOLVER.BASE_LR - base * math.sqrt(4)) < 1e-9

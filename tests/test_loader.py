@@ -190,3 +190,23 @@ def test_multiclip_decode(pmv_csv_dataset):
     s = ds[0]
     # 2 temporal clips x 2 spatial crops.
     assert s["frames"].shape == (4, 4, 32, 32, 3)
+
+
+def test_kinetics_fps_jitter_and_long_cycle_rate(pmv_csv_dataset):
+    """TRAIN_JITTER_FPS + MULTIGRID.LONG_CYCLE_SAMPLING_RATE paths decode
+    fine and keep the output geometry (`kinetics.py:316-352`)."""
+    root, vids = pmv_csv_dataset
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.PATH_PREFIX = str(vids)
+    cfg.DATA.PM_SUBSET = "_pmv400"
+    cfg.DATA.PATH_LABEL_SEPARATOR = ","
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [80, 96]
+    cfg.DATA.TRAIN_CROP_SIZE = 64
+    cfg.DATA.TRAIN_JITTER_FPS = 8.0
+    cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE = 4
+    ds = build_dataset("kinetics", cfg, "train")
+    s = ds[0]
+    assert s["frames"].shape == (4, 64, 64, 3)

@@ -1,4 +1,5 @@
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,11 +106,11 @@ def test_maskmvit_trains():
 
 def test_maskmvit_pixel_targets_and_decoder():
     """MAE-style pixel targets (TIME_STRIDE_LOSS + NORM_PRED_PIXEL) and the
-    DEC_DEPTH decoder stack (`masked.py:78-120,219-243`)."""
+    DECODER_DEPTH decoder stack (`masked.py:78-120,219-243`)."""
     cfg = _cfg()
     cfg.MASK.PRED_HOG = False
-    cfg.MASK.DEC_DEPTH = 1
-    cfg.MASK.DEC_EMBED_DIM = 16
+    cfg.MASK.DECODER_DEPTH = 1
+    cfg.MASK.DECODER_EMBED_DIM = 16
     model = MaskMViT(cfg=freeze_cfg(cfg), dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3))
     variables = model.init(
@@ -211,3 +212,51 @@ def test_masked_step_with_loader_mask():
     step = jax.jit(ssl_steps.make_masked_train_step(cfg, model, tx))
     new_state, metrics = step(state, batch, rng, 1e-4)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_patchify_roundtrip_and_mae_visualize():
+    """unpatchify(patchify(x)) == x; VIS_MASK comparison stack geometry."""
+    from pmv_tpu.data.masking import gen_mask  # noqa: F401 (import check)
+    from pmv_tpu.models.masked import (
+        mae_visualize, patchify_pixels, unpatchify_pixels,
+    )
+
+    cfg = _cfg()
+    cfg.MASK.PRED_HOG = False
+    cfg.MASK.TIME_STRIDE_LOSS = True
+    cfg.MASK.NORM_PRED_PIXEL = False
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 4, 32, 32, 3))
+        .astype(np.float32)
+    )
+    patches, geom = patchify_pixels(cfg, x)
+    back = unpatchify_pixels(patches, geom)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x[:, ::2]))
+
+    n_tok = patches.shape[1]
+    pred = jnp.zeros_like(patches)
+    mask = jnp.asarray(np.random.default_rng(1).uniform(size=(2, n_tok)) < 0.5)
+    comp = np.asarray(mae_visualize(cfg, x, pred, mask))
+    assert comp.shape == (2, 3, 2, 32, 32, 3)
+    # Original plane is exact; reconstruction has zeros at masked patches.
+    np.testing.assert_allclose(comp[:, 0], np.asarray(x[:, ::2]).astype(np.uint8))
+
+
+def test_vis_mask_test_entry(tmp_path):
+    """test() VIS_MASK path end-to-end on synthetic data."""
+    from pmv_tpu.engine.test import test as test_entry
+
+    cfg = _cfg()
+    cfg.MASK.PRED_HOG = False
+    cfg.VIS_MASK.ENABLE = True
+    cfg.TEST.DATASET = "synthetic"
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.OUTPUT_DIR = str(tmp_path)
+    out = test_entry(cfg)
+    assert out and all(os.path.exists(p) for p in out)
+    comp = np.load(out[0])
+    assert comp.ndim == 6 and comp.shape[1] == 3

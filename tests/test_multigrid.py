@@ -44,8 +44,11 @@ def test_long_cycle_update_changes_shape():
     assert cfg.DATA.NUM_FRAMES < 16
     assert cfg.DATA.TRAIN_CROP_SIZE < 224
     assert cfg.TRAIN.BATCH_SIZE > 64  # bigger batch compensates
-    # Constant clip duration: sampling rate scaled up.
-    assert cfg.DATA.SAMPLING_RATE > 5
+    # Constant clip duration: the long-cycle sampling rate scales up while
+    # DATA.SAMPLING_RATE stays pristine (reference `multigrid.py:99`;
+    # mutating it in place compounded across cycle changes).
+    assert cfg.DATA.SAMPLING_RATE == 5
+    assert cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE > 5
 
 
 def test_current_shape_lookup():

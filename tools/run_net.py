@@ -47,6 +47,13 @@ def main():
                     sweep = cfg.clone()
                     sweep.TEST.NUM_ENSEMBLE_VIEWS = num_view
                     test(sweep)
+            elif len(cfg.TEST.NUM_TEMPORAL_CLIPS) > 0:
+                # Per-protocol clip sweep (`test_net.py:400-401`).
+                for num_view in cfg.TEST.NUM_TEMPORAL_CLIPS:
+                    sweep = cfg.clone()
+                    sweep.TEST.NUM_TEMPORAL_CLIPS = []
+                    sweep.TEST.NUM_ENSEMBLE_VIEWS = num_view
+                    test(sweep)
             else:
                 test(cfg)
 

@@ -95,6 +95,14 @@ class ContrastiveEncoder(nn.Module):
             feats = Uniformer(cfg=cfg, dtype=self.dtype, name="backbone")(
                 x, train=train, return_features=True
             ).mean(axis=(1, 2, 3))
+        elif arch in ("slow", "c2d", "i3d", "2d"):
+            # Slow-only ResNet backbone (the reference's contrastive recipes
+            # use Slow R50, `configs/contrastive_ssl/*_SlowR50_8x8.yaml`).
+            from pmv_tpu.models.resnet import ResNetModel
+
+            feats = ResNetModel(cfg=cfg, dtype=self.dtype, name="backbone")(
+                x, train=train, return_features=True
+            ).mean(axis=(1, 2, 3))
         else:
             raise NotImplementedError(f"SSL backbone arch {arch}")
 

@@ -62,7 +62,9 @@ class ResNetModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=True, boxes=None, box_mask=None):
+    def __call__(
+        self, x, train=True, boxes=None, box_mask=None, return_features=False
+    ):
         cfg = self.cfg
         if isinstance(x, (list, tuple)):
             x = x[0]
@@ -113,6 +115,8 @@ class ResNetModel(nn.Module):
             if si == 0 and tuple(pool1) != (1, 1, 1):
                 x = max_pool_3d(x, pool1, pool1, [(0, 0)] * 3)
 
+        if return_features:
+            return x  # [B, T', H', W', C] pre-head features (SSL backbone)
         if cfg.DETECTION.ENABLE:
             from pmv_tpu.models.heads import ResNetRoIHead
 

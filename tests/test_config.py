@@ -111,3 +111,18 @@ def test_lr_scaling_by_num_shards_reference_semantics():
     cfg.SOLVER.BASE_LR_SCALE_NUM_SHARDS_BY_SQRT = True
     cfg4 = assert_and_infer_cfg(cfg.clone())
     assert abs(cfg4.SOLVER.BASE_LR - base * math.sqrt(4)) < 1e-9
+
+
+def test_all_shipped_yamls_parse():
+    """Every configs/**/*.yaml merges cleanly and passes validation."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    paths = glob.glob(os.path.join(root, "configs", "**", "*.yaml"),
+                      recursive=True)
+    assert paths
+    for p in paths:
+        cfg = get_cfg()
+        cfg.merge_from_file(p)
+        assert_and_infer_cfg(cfg)

@@ -211,6 +211,12 @@ class AttentionPool(nn.Module):
             hc = H * C
             impl = "pallas" if self.use_pallas_pools else self.pool_impl
             on_tpu = jax.default_backend() == "tpu"
+            if impl == "auto":
+                # Per-shape policy (v5e micro + end-to-end): XLA's grouped
+                # conv wins everywhere except the large-stride KV pools,
+                # where the hand bwd (forward-form dx + shifted-reduce dw,
+                # ops/pool_conv.py) is ~2 ms/conv faster.
+                impl = "custom_vjp" if max(self.stride) >= 8 else "xla"
             if impl == "shift":
                 # Lane-padded shifted-MAC depthwise (ops/pool_conv.py
                 # dw_shifted): no grouped-conv lowering fwd or bwd.
@@ -483,6 +489,9 @@ class MultiScaleAttention(nn.Module):
                 k_t, k_h, k_w, nk, nk, self.has_cls_embed,
                 with_rt=self.rel_pos_temporal,
             )
+            # Measured alternative (v5e, bs 8): computing scores + bias as
+            # TWO einsums (no concat copies of q/k) is 9 ms/step SLOWER
+            # (125.3 vs 116.0) — the single extended matmul wins.
             q_ext = jnp.concatenate(
                 [q * scale, rcat.astype(q.dtype)], axis=-1
             )

@@ -53,6 +53,7 @@ VARIANTS = {
     "no_clip": lambda c: _set(c, [("SOLVER.CLIP_GRAD_L2NORM", 0.0)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
     "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
+    "auto_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "auto")]),
     "cvjp_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "custom_vjp")]),
 }
 

@@ -212,11 +212,13 @@ class AttentionPool(nn.Module):
             impl = "pallas" if self.use_pallas_pools else self.pool_impl
             on_tpu = jax.default_backend() == "tpu"
             if impl == "auto":
-                # Per-shape policy (v5e micro + end-to-end): XLA's grouped
-                # conv wins everywhere except the large-stride KV pools,
-                # where the hand bwd (forward-form dx + shifted-reduce dw,
-                # ops/pool_conv.py) is ~2 ms/conv faster.
-                impl = "custom_vjp" if max(self.stride) >= 8 else "xla"
+                # Measured on v5e end-to-end (bs 8): every alternative
+                # lowering loses to XLA's grouped conv — custom_vjp bwd
+                # 115.9 (neutral), disjoint-window 122.4, shifted-MAC
+                # worse still, vs 116.0 baseline. "auto" therefore resolves
+                # to XLA; the other impls stay selectable for other
+                # hardware/shapes.
+                impl = "xla"
             if impl == "shift":
                 # Lane-padded shifted-MAC depthwise (ops/pool_conv.py
                 # dw_shifted): no grouped-conv lowering fwd or bwd.
@@ -231,6 +233,17 @@ class AttentionPool(nn.Module):
                 from pmv_tpu.ops.pool_conv import pool_conv
 
                 x = pool_conv(
+                    x.astype(self.dtype), tiled, tuple(self.stride), padding
+                )
+            elif impl == "window" and (
+                self.stride[0] == 1
+                and self.stride[1] >= self.kernel[1]
+                and self.stride[2] >= self.kernel[2]
+                and np.prod(self.stride) > 1
+            ):
+                from pmv_tpu.ops.pool_conv import dw_window
+
+                x = dw_window(
                     x.astype(self.dtype), tiled, tuple(self.stride), padding
                 )
             elif (

@@ -185,6 +185,47 @@ def pool_conv(x, w, stride, padding):
     return pc(x, w)
 
 
+def dw_window(x, w, stride, padding, accum_dtype=jnp.float32):
+    """Depthwise conv for DISJOINT spatial windows (stride >= kernel on H/W,
+    temporal kernel 3 stride 1 — the MViT KV pools at stride (1,4,4)/(1,8,8)).
+
+    One pad + per-temporal-tap reshape-slice gathers every spatial window
+    contiguously ([B,T,oh,kh,ow,kw,C]); the weighted tap-sum is a plain
+    VPU reduce. No grouped-conv lowering, ~4 passes over the (decimated)
+    data total.
+    """
+    b, t, h, wd, c = x.shape
+    kt, kh, kw = w.shape[:3]
+    st, sh, sw = stride
+    assert st == 1 and sh >= kh and sw >= kw, (stride, w.shape)
+    (pt0, pt1), (ph0, _), (pw0, _) = padding
+    oh = (h + sum(padding[1]) - kh) // sh + 1
+    ow = (wd + sum(padding[2]) - kw) // sw + 1
+    # Pad so window i starts at i*s in the padded array and the reshape
+    # grid [oh, sh] covers every window fully.
+    hp = oh * sh + kh  # >= ph0 + h guaranteed by the output formula
+    wp = ow * sw + kw
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (pt0, pt1),
+            (ph0, hp - h - ph0),
+            (pw0, wp - wd - pw0),
+            (0, 0),
+        ),
+    )
+    wf = w.reshape(kt, kh, kw, -1).astype(accum_dtype)
+    acc = jnp.zeros((b, t, oh, ow, c), accum_dtype)
+    for dt in range(kt):
+        sl = xp[:, dt : dt + t, : oh * sh, : ow * sw]
+        win = sl.reshape(b, t, oh, sh, ow, sw, c)[:, :, :, :kh, :, :kw]
+        acc = acc + jnp.einsum(
+            "btoyxzc,yzc->btoxc", win.astype(accum_dtype), wf[dt]
+        )
+    return acc.astype(x.dtype)
+
+
 def dw_shifted(x, w, stride, padding, accum_dtype=jnp.float32):
     """Depthwise conv as k^3 shifted multiply-accumulates on lane-padded
     channels.

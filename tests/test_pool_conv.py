@@ -163,3 +163,28 @@ def test_attention_pool_head_fold_matches_per_head_reference():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref_ln), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("stride", [(1, 4, 4), (1, 8, 8), (1, 3, 3)])
+def test_dw_window_matches_xla(stride):
+    """Disjoint-window depthwise lowering == XLA grouped conv + grads."""
+    rng = np.random.default_rng(5)
+    c = 6
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, c)).astype(np.float32) * 0.1)
+    padding = [(1, 1), (1, 1), (1, 1)]
+    ref = _xla_conv(x, w, stride, padding)
+    out = pcm.dw_window(x, w, stride, padding)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    g_ref = jax.grad(
+        lambda a, b: jnp.sum(_xla_conv(a, b, stride, padding) ** 2),
+        argnums=(0, 1),
+    )(x, w)
+    g = jax.grad(
+        lambda a, b: jnp.sum(pcm.dw_window(a, b, stride, padding) ** 2),
+        argnums=(0, 1),
+    )(x, w)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g_ref[0]), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(g[1]).ravel(), np.asarray(g_ref[1]).ravel(), atol=1e-3
+    )

@@ -297,3 +297,30 @@ def test_mixed_precision_flag_controls_dtype():
     assert compute_dtype(cfg) == jnp.bfloat16
     cfg.TRAIN.MIXED_PRECISION = False
     assert compute_dtype(cfg) == jnp.float32
+
+
+def test_mvit_v1_sep_pos_embed():
+    """MViTv1-style separate spatial/temporal/cls pos embeds
+    (`video_model_builder.py` SEP_POS_EMBED) forward + interpolation."""
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "MViT"
+    cfg.MODEL.ARCH = "mvit"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.DATA.TEST_CROP_SIZE = 16
+    cfg.MVIT.DEPTH = 2
+    cfg.MVIT.EMBED_DIM = 8
+    cfg.MVIT.USE_ABS_POS = True
+    cfg.MVIT.SEP_POS_EMBED = True
+    cfg.MVIT.POOL_KVQ_KERNEL = [1, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
+    cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
+    model = build_model(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    params = variables["params"]
+    assert "pos_embed_spatial" in params
+    assert "pos_embed_temporal" in params
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 5)

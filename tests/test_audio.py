@@ -163,3 +163,45 @@ def test_avslowfast_fs_fusion_flags():
     )
     out = model.apply(variables, [slow, fast, audio], train=False)
     assert out.shape == (1, 3)
+
+
+def test_easy_negative_audio_mixing_semantics():
+    """AVS easy negatives (`loader.py:25-43`): all rows roll before
+    MIX_NEG_EPOCH, only the EASY_NEG_RATIO prefix afterwards."""
+    import numpy as np
+
+    def mix(audio_mis, epoch, ratio, mix_epoch):
+        n = audio_mis.shape[0]
+        sn = max(int(ratio * n), 1) if epoch >= mix_epoch else n
+        idx = np.arange(n)
+        idx[:sn] = np.arange(1, sn + 1) % sn
+        return audio_mis[idx]
+
+    a = np.arange(8)[:, None]  # 8 samples, identifiable
+    early = mix(a, epoch=0, ratio=0.75, mix_epoch=96)
+    # All rows shifted by one (circular): easy negatives from other videos.
+    np.testing.assert_array_equal(early.ravel(), np.roll(np.arange(8), -1))
+    late = mix(a, epoch=100, ratio=0.75, mix_epoch=96)
+    # Only the first 6 rows rolled; the last 2 keep their own (hard) rows.
+    np.testing.assert_array_equal(late.ravel()[-2:], [6, 7])
+    assert (late.ravel()[:6] == np.arange(1, 7) % 6).all()
+
+
+def test_preprocess_bgr_order():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.engine.steps import make_preprocess_fn
+
+    cfg = get_cfg()
+    cfg.DATA.USE_BGR_ORDER = True
+    cfg.DATA.MEAN = [0.0, 0.0, 0.0]
+    cfg.DATA.STD = [1.0 / 255, 1.0 / 255, 1.0 / 255]
+    pre = make_preprocess_fn(cfg, train=True)
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 2, 4, 4, 3), np.uint8)
+    )
+    out = np.asarray(pre(jax.random.PRNGKey(0), frames))
+    np.testing.assert_allclose(out, np.asarray(frames)[..., ::-1].astype(np.float32))

@@ -188,6 +188,11 @@ def make_train_step(cfg, model, tx, model_pm=None):
                     variables, m_inputs, train=True,
                     mutable=["batch_stats"], rngs={"dropout": k_drop},
                 )
+                if cfg.MODEL.FROZEN_BN:
+                    # `misc.py:400-410` frozen_bn_stats: keep the loaded
+                    # running statistics (batch norm still normalizes with
+                    # batch stats in train mode; only the EMA is frozen).
+                    return preds, state.batch_stats
                 return preds, updates.get("batch_stats", state.batch_stats)
             preds = m.apply(
                 variables, m_inputs, train=True, rngs={"dropout": k_drop},

@@ -275,7 +275,10 @@ def train(cfg):
         )
 
         is_checkp = cu.is_checkpoint_epoch(cfg, cur_epoch)
-        is_eval = misc.is_eval_epoch(cfg, cur_epoch)
+        is_eval = misc.is_eval_epoch(
+            cfg, cur_epoch,
+            multigrid.schedule if multigrid is not None else None,
+        )
 
         if cfg.BN.USE_PRECISE_STATS and state.batch_stats:
             from pmv_tpu.engine import precise_bn

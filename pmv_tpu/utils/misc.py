@@ -33,10 +33,21 @@ def log_model_info(state, cfg):
     logger.info("Mem: %.2f GB", gpu_mem_usage())
 
 
-def is_eval_epoch(cfg, cur_epoch):
-    """Eval on EVAL_PERIOD boundaries and the final epoch."""
+def is_eval_epoch(cfg, cur_epoch, multigrid_schedule=None):
+    """Eval on EVAL_PERIOD boundaries and the final epoch; under multigrid
+    long cycles, eval EVAL_FREQ times per cycle aligned to the cycle end
+    (`misc.py:228-250`)."""
     if cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH:
         return True
+    if multigrid_schedule is not None:
+        prev_epoch = 0
+        for s in multigrid_schedule:
+            if cur_epoch < s[-1]:
+                period = max(
+                    (s[-1] - prev_epoch) // cfg.MULTIGRID.EVAL_FREQ + 1, 1
+                )
+                return (s[-1] - 1 - cur_epoch) % period == 0
+            prev_epoch = s[-1]
     return (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0
 
 

@@ -124,3 +124,61 @@ def test_lr_injection():
     hi = max(jax.tree_util.tree_leaves(d_hi))
     lo = max(jax.tree_util.tree_leaves(d_lo))
     assert hi > lo * 100
+
+
+def test_frozen_bn_keeps_stats():
+    """MODEL.FROZEN_BN: running BN statistics unchanged by train steps."""
+    import numpy as np
+
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.engine import steps
+    from pmv_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "X3D"
+    cfg.MODEL.ARCH = "x3d"
+    cfg.MODEL.NUM_CLASSES = 4
+    cfg.RESNET.TRANS_FUNC = "x3d_transform"
+    cfg.X3D.DIM_C1 = 4
+    cfg.X3D.DEPTH_FACTOR = 0.2
+    cfg.X3D.DIM_C5 = 16
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.DATA.TEST_CROP_SIZE = 16
+    cfg.MODEL.FROZEN_BN = True
+    model = build_model(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "frames": jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (2, 2, 16, 16, 3), np.uint8
+            )
+        ),
+        "labels": jnp.asarray([0, 1]),
+    }
+    state, tx = steps.init_state(cfg, model, batch, rng)
+    step = jax.jit(steps.make_train_step(cfg, model, tx))
+    new_state, _ = step(state, batch, rng, 1e-3)
+    for a, b in zip(
+        jax.tree.leaves(state.batch_stats),
+        jax.tree.leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multigrid_aware_eval_epochs():
+    """Multigrid schedules force EVAL_FREQ evals per long cycle aligned to
+    the cycle end (`misc.py:228-250`)."""
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.utils import misc
+
+    cfg = get_cfg()
+    cfg.SOLVER.MAX_EPOCH = 30
+    cfg.TRAIN.EVAL_PERIOD = 10
+    schedule = [(0, [4, 8, 158], 12), (1, [1, 16, 224], 30)]
+    # Cycle ends (epoch 11 and 29) are always eval epochs.
+    assert misc.is_eval_epoch(cfg, 11, schedule)
+    assert misc.is_eval_epoch(cfg, 29, schedule)
+    # Plain schedule without multigrid falls back to EVAL_PERIOD.
+    assert misc.is_eval_epoch(cfg, 9, None)
+    assert not misc.is_eval_epoch(cfg, 8, None)

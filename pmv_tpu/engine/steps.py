@@ -241,10 +241,15 @@ def make_train_step(cfg, model, tx, model_pm=None):
         # Top-k errors vs the hard labels (with mixup the reference relabels
         # via the mixed target's top-2, `train_net.py:210-219`; we report
         # against the original labels which matches the k=1 common case).
-        topk = min(5, preds.shape[-1])
-        top2 = jax.lax.top_k(preds.astype(jnp.float32), topk)[1]
-        correct1 = (top2[:, :1] == labels[:, None]).any(axis=1)
-        correct5 = (top2 == labels[:, None]).any(axis=1)
+        # Multi-label (float-vector) batches skip top-k like the reference
+        # (`train_net.py` MULTI_LABEL branch; mAP is computed at eval).
+        if labels.ndim > 1:
+            correct1 = correct5 = jnp.ones((preds.shape[0],), jnp.float32)
+        else:
+            topk = min(5, preds.shape[-1])
+            top2 = jax.lax.top_k(preds.astype(jnp.float32), topk)[1]
+            correct1 = (top2[:, :1] == labels[:, None]).any(axis=1)
+            correct5 = (top2 == labels[:, None]).any(axis=1)
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,

@@ -121,10 +121,15 @@ def eval_epoch(val_loader, eval_step, eval_step_pm, state, meter, cur_epoch, cfg
         labels = batch["labels"]
         from pmv_tpu.utils import metrics as metrics_mod
 
-        num_topks = metrics_mod.topks_correct(preds, labels, (1, 5))
-        top1_err, top5_err = [
-            (1.0 - float(x) / preds.shape[0]) * 100.0 for x in num_topks
-        ]
+        if np.asarray(labels).ndim > 1:
+            # Multi-label (Charades): no top-k; the meter reports mAP over
+            # the gathered predictions (`train_net.py` MULTI_LABEL branch).
+            top1_err = top5_err = 0.0
+        else:
+            num_topks = metrics_mod.topks_correct(preds, labels, (1, 5))
+            top1_err, top5_err = [
+                (1.0 - float(x) / preds.shape[0]) * 100.0 for x in num_topks
+            ]
         meter.iter_toc()
         meter.update_stats(top1_err, top5_err, preds.shape[0] * max(cfg.NUM_SHARDS, 1))
         meter.update_predictions(preds, labels)

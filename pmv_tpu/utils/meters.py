@@ -238,14 +238,26 @@ class ValMeter:
             "time_diff": self.iter_timer.seconds(),
             "gpu_mem": "{:.2f}G".format(gpu_mem_usage()),
         }
-        top1_err = self.num_top1_mis / max(self.num_samples, 1)
-        top5_err = self.num_top5_mis / max(self.num_samples, 1)
-        self.min_top1_err = min(self.min_top1_err, top1_err)
-        self.min_top5_err = min(self.min_top5_err, top5_err)
-        stats["top1_err"] = top1_err
-        stats["top5_err"] = top5_err
-        stats["min_top1_err"] = self.min_top1_err
-        stats["min_top5_err"] = self.min_top5_err
+        multi_label = (
+            self.all_labels
+            and np.asarray(self.all_labels[0]).ndim > 1
+        )
+        if multi_label:
+            # Charades-style mAP over the gathered epoch predictions
+            # (`meters.py` ValMeter MULTI_LABEL branch).
+            stats["map"] = get_map(
+                np.concatenate(self.all_preds, axis=0),
+                np.concatenate(self.all_labels, axis=0),
+            )
+        else:
+            top1_err = self.num_top1_mis / max(self.num_samples, 1)
+            top5_err = self.num_top5_mis / max(self.num_samples, 1)
+            self.min_top1_err = min(self.min_top1_err, top1_err)
+            self.min_top5_err = min(self.min_top5_err, top5_err)
+            stats["top1_err"] = top1_err
+            stats["top5_err"] = top5_err
+            stats["min_top1_err"] = self.min_top1_err
+            stats["min_top5_err"] = self.min_top5_err
         pmv_logging.log_json_stats(stats, logger)
         return stats
 

@@ -137,3 +137,53 @@ def test_sth_dataset(tmp_path):
     b = ds_t[1]["frames"]
     assert a.shape == (4, 16, 16, 3)
     assert not np.array_equal(a, b)  # different ensemble views
+
+
+def test_charades_multilabel_train_e2e(tmp_path):
+    """Full train() on Charades-style multi-label data: BCE steps + mAP
+    eval epoch (the reference's MULTI_LABEL path end-to-end)."""
+    from pmv_tpu.engine.train import train
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rows = ["original_vido_id video_id frame_id path labels"]
+    for i in range(8):
+        v = f"c{i}"
+        paths = _write_frames(frames_dir, v, 10)
+        for j, p in enumerate(paths):
+            lbl = "0,2" if i % 2 == 0 else "1"
+            rows.append(f'{v} {v} {j} {p} "{lbl}"')
+    (tmp_path / "train.csv").write_text("\n".join(rows) + "\n")
+    (tmp_path / "val.csv").write_text("\n".join(rows) + "\n")
+
+    cfg = get_cfg()
+    cfg.TRAIN.DATASET = "charades"
+    cfg.TEST.DATASET = "charades"
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.EVAL_PERIOD = 1
+    cfg.TRAIN.CHECKPOINT_PERIOD = 1
+    cfg.TEST.ENABLE = False
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.PATH_PREFIX = str(frames_dir)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.DATA.TEST_CROP_SIZE = 16
+    cfg.DATA.TRAIN_JITTER_SCALES = [18, 20]
+    cfg.MODEL.MODEL_NAME = "X3D"
+    cfg.MODEL.ARCH = "x3d"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.LOSS_FUNC = "bce_logit"
+    cfg.MODEL.HEAD_ACT = "sigmoid"
+    cfg.RESNET.TRANS_FUNC = "x3d_transform"
+    cfg.X3D.DIM_C1 = 4
+    cfg.X3D.DEPTH_FACTOR = 0.2
+    cfg.X3D.DIM_C5 = 16
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    import os
+
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    stats = train(cfg)
+    assert stats is None or True  # reaching here = full loop ran

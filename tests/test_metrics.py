@@ -47,3 +47,23 @@ def test_test_meter_max_ensemble():
     labels = np.array([0, 0])
     meter.update_stats(preds, labels, np.array([0, 1]))
     np.testing.assert_allclose(meter.video_preds[0], [0.6, 0.5, 0.3])
+
+
+def test_val_meter_multilabel_map():
+    """ValMeter reports mAP instead of top-k for multi-label epochs."""
+    import numpy as np
+
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.utils.meters import ValMeter
+
+    cfg = get_cfg()
+    cfg.MODEL.NUM_CLASSES = 4
+    meter = ValMeter(max_iter=2, cfg=cfg)
+    preds = np.array([[0.9, 0.1, 0.8, 0.0], [0.1, 0.9, 0.0, 0.7]])
+    labels = np.array([[1, 0, 1, 0], [0, 1, 0, 1]], np.float32)
+    meter.update_stats(0.0, 0.0, 2)
+    meter.update_predictions(preds, labels)
+    stats = meter.log_epoch_stats(0)
+    assert "map" in stats
+    assert stats["map"] == 1.0  # perfectly ranked
+    assert "top1_err" not in stats

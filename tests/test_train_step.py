@@ -182,3 +182,44 @@ def test_multigrid_aware_eval_epochs():
     # Plain schedule without multigrid falls back to EVAL_PERIOD.
     assert misc.is_eval_epoch(cfg, 9, None)
     assert not misc.is_eval_epoch(cfg, 8, None)
+
+
+def test_multilabel_bce_train_step():
+    """Charades-style multi-label training: float label vectors + BCE."""
+    import numpy as np
+
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.engine import steps
+    from pmv_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "X3D"
+    cfg.MODEL.ARCH = "x3d"
+    cfg.MODEL.NUM_CLASSES = 6
+    cfg.MODEL.LOSS_FUNC = "bce_logit"
+    cfg.MODEL.HEAD_ACT = "sigmoid"
+    cfg.RESNET.TRANS_FUNC = "x3d_transform"
+    cfg.X3D.DIM_C1 = 4
+    cfg.X3D.DEPTH_FACTOR = 0.2
+    cfg.X3D.DIM_C5 = 16
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 16
+    cfg.DATA.TEST_CROP_SIZE = 16
+    model = build_model(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    labels = np.zeros((2, 6), np.float32)
+    labels[0, [1, 3]] = 1.0
+    labels[1, [0]] = 1.0
+    batch = {
+        "frames": jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (2, 2, 16, 16, 3), np.uint8
+            )
+        ),
+        "labels": jnp.asarray(labels),
+    }
+    state, tx = steps.init_state(cfg, model, batch, rng)
+    step = jax.jit(steps.make_train_step(cfg, model, tx))
+    new_state, metrics = step(state, batch, rng, 1e-3)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1

@@ -76,9 +76,12 @@ class MaskMViT(nn.Module):
         Returns (pred_hog [B, N, D_hog], target_hog, mask).
         """
         cfg = self.cfg
-        patch_t, patch_h, patch_w = cfg.MVIT.PATCH_STRIDE
+        if len(cfg.MVIT.PATCH_STRIDE) == 2:  # 2-D image MaskFeat (in1k)
+            patch_t, (patch_h, patch_w) = 1, cfg.MVIT.PATCH_STRIDE
+        else:
+            patch_t, patch_h, patch_w = cfg.MVIT.PATCH_STRIDE
         b = x.shape[0]
-        t_tok = cfg.DATA.NUM_FRAMES // patch_t
+        t_tok = max(cfg.DATA.NUM_FRAMES // patch_t, 1)
         h_tok = x.shape[2] // patch_h
         w_tok = x.shape[3] // patch_w
         n_tok = t_tok * h_tok * w_tok

@@ -21,10 +21,10 @@ CONFIGS = sorted(
     p
     for p in glob.glob(os.path.join(ROOT, "configs", "**", "*.yaml"),
                        recursive=True)
-    # audio-visual / detection / 2-D image configs need different example
-    # inputs; they are exercised by their own dedicated tests.
+    # audio-visual / detection configs need different example inputs;
+    # they are exercised by their own dedicated tests. ImageNet/in1k
+    # configs run as single-frame (2-D patch) models below.
     if "AVSLOWFAST" not in p and "AVA" + os.sep not in p
-    and "ImageNet" not in p and "in1k" not in p
 )
 
 

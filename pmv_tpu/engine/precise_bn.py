@@ -20,13 +20,11 @@ def calculate_and_update_precise_bn(loader, state, cfg, model, mesh):
     num_batches = min(cfg.BN.NUM_BATCHES_PRECISE, len(loader))
     if num_batches <= 0 or not state.batch_stats:
         return state
-    preprocess = steps.make_preprocess_fn(cfg, train=False)
+    preprocess = steps.make_eval_preprocess_fn(cfg)
 
     @jax.jit
     def stats_step(params, batch_stats, frames):
-        x = (frames.astype(jnp.float32) - jnp.asarray(cfg.DATA.MEAN) * 255.0) / (
-            jnp.asarray(cfg.DATA.STD) * 255.0
-        )
+        x = preprocess(frames)
         inputs = steps.pack_pathways(cfg, x)
         xs = inputs[0] if len(inputs) == 1 else inputs
         _, updates = model.apply(

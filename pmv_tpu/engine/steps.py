@@ -115,6 +115,27 @@ def make_preprocess_fn(cfg, train: bool):
     return preprocess
 
 
+def make_eval_preprocess_fn(cfg):
+    """Shared eval/test preprocessing: uint8 frames -> normalized float.
+
+    The reference applies channel-order (`DATA.USE_BGR_ORDER`) and
+    normalization in the dataset for *all* splits (`kinetics.py:443-448`);
+    every eval-side step must route through this so train and eval see the
+    same channel order.
+    """
+    mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
+    std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+    use_bgr = cfg.DATA.USE_BGR_ORDER
+
+    def preprocess(frames):
+        x = frames.astype(jnp.float32)
+        if use_bgr:
+            x = x[..., ::-1]
+        return (x - mean) / std
+
+    return preprocess
+
+
 def pack_pathways(cfg, x, audio=None, audio_mis=None):
     """Single tensor -> per-pathway list (`datasets/utils.py` pack_pathway_output).
 
@@ -238,18 +259,28 @@ def make_train_step(cfg, model, tx, model_pm=None):
             opt_state=new_opt_state,
         )
 
-        # Top-k errors vs the hard labels (with mixup the reference relabels
-        # via the mixed target's top-2, `train_net.py:210-219`; we report
-        # against the original labels which matches the k=1 common case).
-        # Multi-label (float-vector) batches skip top-k like the reference
-        # (`train_net.py` MULTI_LABEL branch; mAP is computed at eval).
+        # Top-k errors. Multi-label (float-vector) batches skip top-k like
+        # the reference (`train_net.py` MULTI_LABEL branch; mAP at eval).
+        # With mixup the reference relabels via the mixed target's top-2
+        # (`train_net.py:210-219`): the top-2 pred scores merge into the
+        # dominant mixed label so the train curve is comparable.
         if labels.ndim > 1:
             correct1 = correct5 = jnp.ones((preds.shape[0],), jnp.float32)
         else:
+            metric_preds = preds.astype(jnp.float32)
+            metric_labels = labels
+            if mixup_fn is not None:
+                rows = jnp.arange(metric_preds.shape[0])
+                top2i = jax.lax.top_k(targets, 2)[1]
+                metric_preds = metric_preds.at[rows, top2i[:, 0]].add(
+                    metric_preds[rows, top2i[:, 1]]
+                )
+                metric_preds = metric_preds.at[rows, top2i[:, 1]].set(0.0)
+                metric_labels = top2i[:, 0]
             topk = min(5, preds.shape[-1])
-            top2 = jax.lax.top_k(preds.astype(jnp.float32), topk)[1]
-            correct1 = (top2[:, :1] == labels[:, None]).any(axis=1)
-            correct5 = (top2 == labels[:, None]).any(axis=1)
+            top2 = jax.lax.top_k(metric_preds, topk)[1]
+            correct1 = (top2[:, :1] == metric_labels[:, None]).any(axis=1)
+            correct5 = (top2 == metric_labels[:, None]).any(axis=1)
         metrics = {
             "loss": loss,
             "grad_norm": grad_norm,
@@ -264,11 +295,10 @@ def make_train_step(cfg, model, tx, model_pm=None):
 
 def make_eval_step(cfg, model):
     """Returns eval_step(state, batch) -> preds (eval path, softmax'd head)."""
-    mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+    preprocess = make_eval_preprocess_fn(cfg)
 
     def eval_step(state: TrainState, frames, audio=None):
-        x = (frames.astype(jnp.float32) - mean) / std
+        x = preprocess(frames)
         inputs = pack_pathways(cfg, x, audio=audio)
         if len(inputs) == 1:
             inputs = inputs[0]
@@ -341,11 +371,10 @@ def make_detection_train_step(cfg, model, tx):
 def make_feat_step(cfg, model):
     """Feature-extraction step (Uniformer fork TEST.FEAT_EXTRACT): pooled
     backbone features instead of logits."""
-    mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+    preprocess = make_eval_preprocess_fn(cfg)
 
     def feat_step(state: TrainState, frames):
-        x = (frames.astype(jnp.float32) - mean) / std
+        x = preprocess(frames)
         inputs = pack_pathways(cfg, x)
         xs = inputs[0] if len(inputs) == 1 else inputs
         variables = {"params": state.params}

@@ -88,12 +88,11 @@ def test_detection(cfg, state, model, mesh):
     from pmv_tpu.utils.ava_eval import evaluate_detections
 
     test_loader = loader_mod.construct_loader(cfg, "test")
-    mean = np.asarray(cfg.DATA.MEAN, np.float32) * 255.0
-    std = np.asarray(cfg.DATA.STD, np.float32) * 255.0
+    preprocess = steps.make_eval_preprocess_fn(cfg)
 
     @jax.jit
     def det_step(state, frames, boxes, box_mask):
-        x = (frames.astype(jnp.float32) - mean) / std
+        x = preprocess(frames)
         inputs = steps.pack_pathways(cfg, x)
         xs = inputs[0] if len(inputs) == 1 else inputs
         variables = {"params": state.params}
@@ -286,7 +285,11 @@ def test(cfg):
             rng,
         )
     if cfg.LOG_MODEL_INFO:
-        misc.log_model_info(state, cfg)
+        misc.log_model_info(
+            state, cfg,
+            model=None if cfg.DETECTION.ENABLE else model,
+            example_batch={"frames": example["frames"]},
+        )
     state = cu.load_test_checkpoint(cfg, state)
     state = mesh_lib.replicate(state, mesh)
 

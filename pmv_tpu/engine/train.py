@@ -41,6 +41,44 @@ def train_epoch(
     # replaces the reference's absent torch.profiler, SURVEY.md section 5).
     prof_dir = cfg.TPU.PROFILE_DIR
     prof_window = (10, 15) if data_size > 15 else (0, min(2, data_size))
+
+    # Metrics stay on device between LOG_PERIOD boundaries: a per-step
+    # device_get would serialize host dispatch against device compute
+    # (the reference pays the same .item() sync on GPU at
+    # `train_net.py:271-277`; TPU async dispatch is the whole point).
+    # NaN / loss-explosion guards run at flush granularity.
+    pending = []
+    flush_every = max(1, cfg.LOG_PERIOD)
+
+    def flush_metrics():
+        for it, lr_it, mb_size, m in pending:
+            m = jax.device_get(m)
+            if bool(m["nan"]):
+                raise RuntimeError(
+                    f"ERROR: Got NaN losses at iter {it} "
+                    f"(`misc.py:28-36` NaN guard)"
+                )
+            if (
+                cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR > 0.0
+                and meter.loss.count > 10
+                and float(m["loss"])
+                > cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR
+                * meter.loss.get_global_avg()
+            ):
+                raise RuntimeError(
+                    f"ERROR: Got Loss explosion of {float(m['loss'])}"
+                )
+            meter.update_stats(
+                float(m["top1_err"]),
+                float(m["top5_err"]),
+                float(m["loss"]),
+                lr_it,
+                float(m["grad_norm"]),
+                mb_size * max(cfg.NUM_SHARDS, 1),
+            )
+            meter.log_iter_stats(cur_epoch, it)
+        pending.clear()
+
     meter.iter_tic()
     for cur_iter, batch in enumerate(train_loader):
         if prof_dir and cur_epoch == 0 and cur_iter == prof_window[0]:
@@ -69,35 +107,15 @@ def train_epoch(
         meter.data_toc()
         step_fn = train_step_pm if batch["pm"].any() else train_step
         state, metrics = step_fn(state, device_batch, rng, lr)
-        metrics = jax.device_get(metrics)
-        if bool(metrics["nan"]):
-            raise RuntimeError(
-                f"ERROR: Got NaN losses at iter {cur_iter} "
-                f"(`misc.py:28-36` NaN guard)"
-            )
-        if (
-            cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR > 0.0
-            and meter.loss.count > 10
-            and float(metrics["loss"])
-            > cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR * meter.loss.get_global_avg()
-        ):
-            raise RuntimeError(
-                f"ERROR: Got Loss explosion of {float(metrics['loss'])}"
-            )
+        pending.append((cur_iter, lr, batch["frames"].shape[0], metrics))
         meter.iter_toc()
-        meter.update_stats(
-            float(metrics["top1_err"]),
-            float(metrics["top5_err"]),
-            float(metrics["loss"]),
-            lr,
-            float(metrics["grad_norm"]),
-            batch["frames"].shape[0] * max(cfg.NUM_SHARDS, 1),
-        )
-        meter.log_iter_stats(cur_epoch, cur_iter)
+        if (cur_iter + 1) % flush_every == 0:
+            flush_metrics()
         if prof_dir and cur_epoch == 0 and cur_iter == prof_window[1]:
             jax.profiler.stop_trace()
             prof_dir = None  # one trace per job
         meter.iter_tic()
+    flush_metrics()
     if prof_dir and cur_epoch == 0:  # loop ended inside the trace window
         try:
             jax.profiler.stop_trace()
@@ -142,11 +160,10 @@ def eval_epoch(val_loader, eval_step, eval_step_pm, state, meter, cur_epoch, cfg
 
 def _make_pm_eval_step(cfg, model_land, model_port):
     """Eval step selecting per-sample between orientations."""
+    preprocess = steps.make_eval_preprocess_fn(cfg)
 
     def eval_step_pm(state, frames, pm):
-        mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
-        std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
-        x = (frames.astype(jnp.float32) - mean) / std
+        x = preprocess(frames)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -198,7 +215,11 @@ def train(cfg):
     }
     state, tx = steps.init_state(cfg, model, example_batch, rng)
     if cfg.LOG_MODEL_INFO:
-        misc.log_model_info(state, cfg)
+        misc.log_model_info(
+            state, cfg,
+            model=None if cfg.DETECTION.ENABLE else model,
+            example_batch=example_batch,
+        )
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
     state = mesh_lib.replicate(state, mesh)
 

@@ -91,6 +91,67 @@ def load_checkpoint(path, state=None):
     return payload["state"], int(payload["epoch"])
 
 
+def _flatten_paths(tree):
+    """Flatten a pytree to {'a/b/c': leaf} with '/'-joined key paths."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        names = [str(k.key) if hasattr(k, "key") else str(k) for k in path]
+        out["/".join(names)] = leaf
+    return out
+
+
+def clear_name_patterns(loaded_tree, patterns, template_tree):
+    """TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN (`checkpoint.py:312-328`).
+
+    Rename loaded entries whose path contains a pattern (first occurrence
+    removed — the SSL-pretrain -> supervised handoff strips e.g.
+    'backbone/'), then fit onto the template tree: matching paths with
+    matching shapes load, everything else keeps the template value (the
+    reference's `load_state_dict(strict=False)`).
+    """
+    import jax
+
+    loaded = _flatten_paths(loaded_tree)
+    for item in patterns:
+        item = item.replace(".", "/")  # accept reference-style dot patterns
+        renamed = {}
+        for k, v in loaded.items():
+            if item in k:
+                k_re = k.replace(item, "", 1).replace("//", "/").strip("/")
+                logger.info("renaming: %s -> %s", k, k_re)
+                renamed[k_re] = v
+            else:
+                renamed[k] = v
+        loaded = renamed
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template_tree)
+    leaves = []
+    n_loaded = 0
+    for path, leaf in flat:
+        names = [str(k.key) if hasattr(k, "key") else str(k) for k in path]
+        key = "/".join(names)
+        src = loaded.get(key)
+        if src is not None and tuple(np.shape(src)) == tuple(leaf.shape):
+            leaves.append(np.asarray(src).astype(np.asarray(leaf).dtype))
+            n_loaded += 1
+        else:
+            if src is not None:
+                logger.warning(
+                    "shape mismatch for %s: ckpt %s vs model %s",
+                    key, np.shape(src), leaf.shape,
+                )
+            leaves.append(leaf)
+    logger.info(
+        "clear_name_patterns: loaded %d/%d leaves", n_loaded, len(flat)
+    )
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template_tree), leaves
+    )
+
+
 def load_train_checkpoint(cfg, state):
     """Auto-resume / init logic (`train_net.py:589-631`). Returns
     (state, start_epoch)."""
@@ -104,12 +165,17 @@ def load_train_checkpoint(cfg, state):
             "Load from given checkpoint file %s.",
             cfg.TRAIN.CHECKPOINT_FILE_PATH,
         )
-        if cfg.TRAIN.CHECKPOINT_TYPE == "pytorch":
+        patterns = list(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN)
+        # CHECKPOINT_TYPE defaults to "pytorch" (reference surface) but our
+        # own orbax checkpoints are directories — auto-detect.
+        is_orbax = os.path.isdir(cfg.TRAIN.CHECKPOINT_FILE_PATH)
+        if cfg.TRAIN.CHECKPOINT_TYPE == "pytorch" and not is_orbax:
             from pmv_tpu.utils import torch_import
 
             params = torch_import.load_torch_checkpoint_params(
                 cfg.TRAIN.CHECKPOINT_FILE_PATH, cfg, state.params,
                 inflate=cfg.TRAIN.CHECKPOINT_INFLATE,
+                clear_name_pattern=patterns,
             )
             state = state.replace(params=params)
             return state, 0
@@ -121,6 +187,28 @@ def load_train_checkpoint(cfg, state):
             )
             state = state.replace(params=params)
             return state, 0
+        if patterns:
+            # Cross-model load (e.g. ContrastiveModel pretrain -> supervised
+            # finetune): restore the raw tree, scrub names, fit strict=False.
+            payload = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(cfg.TRAIN.CHECKPOINT_FILE_PATH)
+            )
+            raw = payload["state"]
+            state = state.replace(
+                params=clear_name_patterns(
+                    raw.get("params", raw), patterns, state.params
+                ),
+                batch_stats=(
+                    clear_name_patterns(
+                        raw["batch_stats"], patterns, state.batch_stats
+                    )
+                    if state.batch_stats and raw.get("batch_stats")
+                    else state.batch_stats
+                ),
+            )
+            if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
+                return state, 0
+            return state, int(payload["epoch"]) + 1
         state, epoch = load_checkpoint(cfg.TRAIN.CHECKPOINT_FILE_PATH, state)
         if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
             return state, 0
@@ -139,8 +227,9 @@ def load_test_checkpoint(cfg, state):
                 path, cfg, state.params
             )
             return state.replace(params=params)
-        if cfg.TEST.CHECKPOINT_TYPE == "pytorch" or path.endswith(
-            (".pyth", ".pth", ".pt")
+        if not os.path.isdir(path) and (
+            cfg.TEST.CHECKPOINT_TYPE == "pytorch"
+            or path.endswith((".pyth", ".pth", ".pt"))
         ):
             from pmv_tpu.utils import torch_import
 

@@ -22,15 +22,39 @@ def gpu_mem_usage():
     return _g()
 
 
-def log_model_info(state, cfg):
-    """Log params / memory at job start (`misc.py:166-226` get_model_stats).
+def log_model_info(state, cfg, model=None, example_batch=None):
+    """Log params / FLOPs / memory at job start (`misc.py:166-226`
+    get_model_stats / log_model_info).
 
-    FLOPs come from XLA's analytical cost model when available (the
-    reference uses fvcore activation counting on a synthetic input).
+    FLOPs come from XLA's analytical cost model on the jitted eval forward
+    (the reference uses fvcore activation counting on a synthetic input).
+    XLA counts multiply+add separately, so the logged number is ~2x the
+    MAC-counted fvcore figures in `MViT/MODEL_ZOO.md`.
     """
     n_params = params_count(state.params)
     logger.info("Params: %s", f"{n_params:,}")
     logger.info("Mem: %.2f GB", gpu_mem_usage())
+    if model is not None and example_batch is not None:
+        f = eval_flops_per_clip(state, cfg, model, example_batch)
+        if f > 0:
+            logger.info(
+                "Flops: %.2f G / clip (XLA fwd; ~2x MAC-counted fvcore)",
+                f / 1e9,
+            )
+
+
+def eval_flops_per_clip(state, cfg, model, example_batch):
+    """Analytic forward FLOPs per clip of the jitted eval step."""
+    import jax.numpy as jnp
+
+    from pmv_tpu.engine import steps as steps_mod
+
+    frames = jnp.asarray(example_batch["frames"])
+    eval_step = steps_mod.make_eval_step(cfg, model)
+    f = flops_count(eval_step, state, frames)
+    if f <= 0:
+        return f
+    return f / frames.shape[0]
 
 
 def is_eval_epoch(cfg, cur_epoch, multigrid_schedule=None):

@@ -202,9 +202,26 @@ def convert_state_dict(state_dict, variables, strict=True, drop_head_mismatch=Tr
     return new_vars, missing, unexpected
 
 
-def load_torch_checkpoint_params(path, cfg, params, inflate=False):
-    """Load torch checkpoint params only (no batch stats) into `params`."""
+def load_torch_checkpoint_params(
+    path, cfg, params, inflate=False, clear_name_pattern=()
+):
+    """Load torch checkpoint params only (no batch stats) into `params`.
+
+    clear_name_pattern: substrings removed (first occurrence) from torch
+    state-dict keys before name matching
+    (`checkpoint.py:312-328` TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN).
+    """
     sd = load_torch_state_dict(path)
+    for item in clear_name_pattern:
+        renamed = {}
+        for k, v in sd.items():
+            if item in k:
+                k_re = k.replace(item, "", 1)
+                logger.info("renaming: %s -> %s", k, k_re)
+                renamed[k_re] = v
+            else:
+                renamed[k] = v
+        sd = renamed
     new_vars, _, _ = convert_state_dict(
         sd, {"params": params}, strict=False
     )

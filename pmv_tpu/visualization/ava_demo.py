@@ -93,15 +93,14 @@ def ava_demo(cfg):
     state, _ = steps.init_state(cfg, model, example, jax.random.PRNGKey(0))
     state = cu.load_test_checkpoint(cfg, state)
 
-    mean = np.asarray(cfg.DATA.MEAN, np.float32) * 255.0
-    std = np.asarray(cfg.DATA.STD, np.float32) * 255.0
+    preprocess = steps.make_eval_preprocess_fn(cfg)
 
     @jax.jit
     def det_step(state, frames, boxes, box_mask):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        x = (frames.astype(np.float32) - mean) / std
+        x = preprocess(frames)
         xs = steps.pack_pathways(cfg, x)
         if len(xs) == 1:
             xs = xs[0]

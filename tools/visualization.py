@@ -59,8 +59,7 @@ def visualize(cfg):
 
     import jax.numpy as jnp
 
-    mean = np.asarray(cfg.DATA.MEAN, np.float32) * 255.0
-    std = np.asarray(cfg.DATA.STD, np.float32) * 255.0
+    preprocess = steps.make_eval_preprocess_fn(cfg)
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
@@ -84,7 +83,7 @@ def visualize(cfg):
     use_gradcam = not mv.ENABLE or mv.GRAD_CAM.ENABLE
     all_preds, all_labels = [], []
     for cur_iter, batch in enumerate(test_loader):
-        x = (batch["frames"].astype(np.float32) - mean) / std
+        x = np.asarray(preprocess(batch["frames"]))
         if use_gradcam:
             labels_for_cam = (
                 jnp.asarray(batch["labels"])

@@ -321,7 +321,10 @@ class MultiScaleAttention(nn.Module):
     rel_pos_zero_init: bool = False
     residual_pooling: bool = False
     separate_qkv: bool = False
-    hw_switch: bool = False  # static: portrait specialization swaps H/W tables
+    # hw_switch == reference hw_switch_auto: rel-pos H/W tables swap when
+    # the (static) grid is portrait. On for BOTH orientations' programs
+    # whenever the recipe enables SWITCH_AUTO (`video_model_builder.py:1786`).
+    hw_switch: bool = False
     use_pallas: bool = False  # fused attention kernel on TPU backends
     use_pallas_pools: bool = False  # hand-written depthwise pool kernel
     pool_impl: str = "xla"  # depthwise pool implementation (AttentionPool)
@@ -407,9 +410,12 @@ class MultiScaleAttention(nn.Module):
             )
             rel_pos_h = self.param("rel_pos_h", init, (rel_sp_dim_h, head_dim))
             rel_pos_w = self.param("rel_pos_w", init, (rel_sp_dim_w, head_dim))
-            if self.hw_switch:
-                # Portrait specialization: H axis uses the W table and vice
-                # versa (`attention.py:414-435`).
+            if self.hw_switch and thw_shape[1] > thw_shape[2]:
+                # `attention.py:414-435`: when switch-auto is on and the
+                # *current* grid is portrait (H > W), the H axis uses the W
+                # table and vice versa. thw_shape is static at trace time so
+                # each orientation specializes to the reference's dynamic
+                # branch exactly.
                 rp_h, rp_w = rel_pos_w, rel_pos_h
             else:
                 rp_h, rp_w = rel_pos_h, rel_pos_w

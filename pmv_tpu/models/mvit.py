@@ -291,7 +291,13 @@ class MViT(nn.Module):
                 residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
                 dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
                 separate_qkv=cfg.MVIT.SEPARATE_QKV,
-                hw_switch=self.hw_switch,
+                # switch-auto follows the reference for both orientations'
+                # programs (`video_model_builder.py:1786`); the explicit
+                # portrait spec (self.hw_switch) also enables it.
+                hw_switch=(
+                    self.hw_switch
+                    or cfg.DATA.TRAIN_CROP_SIZE_RECT_SWITCH_AUTO
+                ),
                 use_pallas=cfg.MVIT.USE_PALLAS_ATTENTION,
                 use_pallas_pools=cfg.MVIT.USE_PALLAS_POOLS,
                 pool_impl=cfg.MVIT.POOL_CONV_IMPL,

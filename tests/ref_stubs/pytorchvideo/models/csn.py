@@ -1,0 +1,3 @@
+from ._unavailable import make_getattr
+
+__getattr__ = make_getattr("csn")

@@ -27,6 +27,19 @@ def init_distributed(cfg):
     No-op for single-process jobs.
     """
     if cfg.NUM_SHARDS > 1 and cfg.TPU.COORDINATOR_ADDRESS:
+        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+            # CPU multi-process (tests / local rehearsal of a multi-host
+            # job): pin the platform through the config (plugin discovery
+            # can override the env var) and use gloo cross-process
+            # collectives — without this the distributed client connects
+            # but process_count stays 1.
+            try:
+                jax.config.update("jax_platforms", "cpu")
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo"
+                )
+            except Exception:
+                pass
         jax.distributed.initialize(
             coordinator_address=cfg.TPU.COORDINATOR_ADDRESS,
             num_processes=(

@@ -51,6 +51,10 @@ VARIANTS = {
     "bs64": lambda c: c,  # handled specially: batch 64
     "donate": lambda c: c,  # handled specially: donated state buffers
     "no_clip": lambda c: _set(c, [("SOLVER.CLIP_GRAD_L2NORM", 0.0)]),
+    "remat": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
+    "remat_bs16": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
+    "remat_bs32": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
+    "remat_bs64": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
     "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
     "auto_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "auto")]),
@@ -92,7 +96,10 @@ def time_variant(name):
     from pmv_tpu.parallel import mesh as mesh_lib
 
     cfg = VARIANTS[name](base_cfg())
-    batch_size = {"bs16": 16, "bs32": 32, "bs64": 64}.get(name, BATCH)
+    batch_size = {
+        "bs16": 16, "bs32": 32, "bs64": 64,
+        "remat_bs16": 16, "remat_bs32": 32, "remat_bs64": 64,
+    }.get(name, BATCH)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     batch = make_batch(cfg, batch_size)

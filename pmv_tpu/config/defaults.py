@@ -578,6 +578,12 @@ _C.TPU.COORDINATOR_ADDRESS = ""  # jax.distributed.initialize rendezvous
 _C.TPU.PROCESS_ID = -1
 _C.TPU.NUM_PROCESSES = -1
 _C.TPU.PROFILE_DIR = ""
+# Selective activation checkpointing: remat transformer blocks whose input
+# token count is >= this value (0 = off). Cheaper than MODEL.ACT_CHECKPOINT
+# (all blocks): only the big early-stage grids pay recompute, and their
+# activation stash (attention matrices at N~25k) is what blows the HBM
+# budget at larger batch sizes.
+_C.TPU.REMAT_MIN_SEQ = 0
 
 
 def get_cfg():

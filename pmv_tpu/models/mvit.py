@@ -261,13 +261,20 @@ class MViT(nn.Module):
         # Track the construction-time (landscape) grid for param shapes.
         input_size = list(patch_dims)
         thw = (T, H, W)
-        block_cls = MultiScaleBlock
-        if cfg.MODEL.ACT_CHECKPOINT:
-            # remat: recompute block activations in backward (replaces the
-            # reference's fairscale checkpoint_wrapper at :1958-1959).
-            block_cls = nn.remat(MultiScaleBlock, static_argnums=(1, 2))
+        # remat: recompute block activations in backward (replaces the
+        # reference's fairscale checkpoint_wrapper at :1958-1959).
+        # TPU.REMAT_MIN_SEQ additionally remats just the big early-stage
+        # blocks whose stashed attention matrices dominate HBM.
+        # static_argnums: 0 is `self`, so (thw, deterministic) are (2, 3).
+        remat_cls = nn.remat(MultiScaleBlock, static_argnums=(2, 3))
         for i in range(depth):
             spec = schedule[i]
+            block_cls = MultiScaleBlock
+            if cfg.MODEL.ACT_CHECKPOINT or (
+                cfg.TPU.REMAT_MIN_SEQ > 0
+                and int(np.prod(thw)) >= cfg.TPU.REMAT_MIN_SEQ
+            ):
+                block_cls = remat_cls
             block = block_cls(
                 dim=spec["dim"],
                 dim_out=spec["dim_out"],
@@ -304,7 +311,21 @@ class MViT(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )
-            x, thw = block(x, thw, not train)
+            x, thw_out = block(x, thw, not train)
+            if block_cls is MultiScaleBlock:
+                thw = thw_out
+            else:
+                # nn.remat boxes non-array outputs into tracers; the q-pool
+                # output grid is static, so recompute it (conv/max pool with
+                # padding k//2).
+                kq, sq = spec["kernel_q"], spec["stride_q"]
+                if len(kq) > 0 and (
+                    np.prod(kq) > 1 or np.prod(sq) > 1
+                ):
+                    thw = tuple(
+                        (L + 2 * (k // 2) - k) // s + 1
+                        for L, k, s in zip(thw, kq, sq)
+                    )
             if len(spec["stride_q"]) > 0:
                 input_size = [
                     size // stride

@@ -55,6 +55,10 @@ VARIANTS = {
     "remat_bs16": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "remat_bs32": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "remat_bs64": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
+    # Selective remat: only blocks with >= 5000 input tokens (stage 1-2).
+    "remat12": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
+    "remat12_bs32": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
+    "remat12_bs64": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
     "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
     "auto_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "auto")]),
@@ -99,6 +103,7 @@ def time_variant(name):
     batch_size = {
         "bs16": 16, "bs32": 32, "bs64": 64,
         "remat_bs16": 16, "remat_bs32": 32, "remat_bs64": 64,
+        "remat12_bs32": 32, "remat12_bs64": 64,
     }.get(name, BATCH)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)

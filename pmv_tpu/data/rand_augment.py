@@ -25,6 +25,50 @@ _FILL = 128.0
 
 
 # --------------------------------------------------------------- affine warp
+def _resample_x(img, src_x):
+    """1-D bilinear resample along W: out[t,h,x,c] = img[t,h,src_x[h,x],c].
+
+    TPU idiom: the per-row gather becomes a banded interpolation matrix and
+    one MXU einsum (gathers with 2-D index grids are the slow path on TPU —
+    measured ~10x slower for this op). Out-of-range samples blend toward
+    _FILL via the weight-sum deficit, matching the gather path's masking.
+    src_x: [H, W_out] source positions (may be fractional / out of range).
+    """
+    t, h, w, c = img.shape
+    u = jnp.arange(w, dtype=jnp.float32)
+    wmat = jnp.maximum(
+        0.0, 1.0 - jnp.abs(src_x[:, None, :] - u[None, :, None])
+    )  # [H, W_in, W_out]
+    out = jnp.einsum(
+        "thuc,hux->thxc", img, wmat, preferred_element_type=jnp.float32
+    )
+    deficit = 1.0 - jnp.sum(wmat, axis=1)  # [H, W_out]
+    return out + deficit[None, :, :, None] * _FILL
+
+
+def _resample_y(img, src_y):
+    """1-D bilinear resample along H: out[t,y,x,c] = img[t,src_y[y,x],x,c].
+
+    src_y: [H_out, W] source positions.
+    """
+    t, h, w, c = img.shape
+    v = jnp.arange(h, dtype=jnp.float32)
+    wmat = jnp.maximum(
+        0.0, 1.0 - jnp.abs(src_y.T[:, None, :] - v[None, :, None])
+    )  # wmat[x, v, y] = bilinear weight of input row v for output (y, x)
+    out = jnp.einsum(
+        "tvxc,xvy->tyxc", img, wmat, preferred_element_type=jnp.float32
+    )
+    deficit = 1.0 - jnp.sum(wmat, axis=1)  # [W, H_out]
+    return out + deficit.T[None, :, :, None] * _FILL
+
+
+def _grid(h, w):
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    return jnp.meshgrid(xs, ys)  # X, Y each [H, W]
+
+
 def _affine(img, matrix):
     """Apply inverse-mapping 2x3 affine (PIL convention): out(x,y) = in(a x + b y + c, d x + e y + f).
 
@@ -66,32 +110,50 @@ def _affine(img, matrix):
 
 
 def _rotate(img, degrees):
+    """Rotation about center as a Paeth 3-shear (x, y, x) chain.
+
+    Each shear is one banded-matmul resample, so the rotation runs on the
+    MXU instead of per-pixel gathers. Centered decomposition of the inverse
+    map src = R (out - ctr) + ctr with R = [[cos, sin], [-sin, cos]]:
+    alpha = tan(theta/2) (both x-shears), beta = -sin(theta). Interpolation
+    is applied per pass (slightly softer than PIL's single-pass bilinear —
+    training-only augmentation, distributional equivalence).
+    """
     t, h, w, c = img.shape
     angle = -degrees * math.pi / 180.0
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
-    # Inverse rotation around center.
-    a, b = cos, sin
-    d, e = -sin, cos
-    cc = cx - a * cx - b * cy
-    f = cy - d * cx - e * cy
-    return _affine(img, (a, b, cc, d, e, f))
+    alpha = jnp.tan(angle / 2.0)
+    beta = -jnp.sin(angle)
+    X, Y = _grid(h, w)
+    src_x = X + alpha * (Y - cy)  # [H, W]
+    src_y = Y + beta * (X - cx)
+    img = _resample_x(img, src_x)
+    img = _resample_y(img, src_y)
+    return _resample_x(img, src_x)
 
 
 def _shear_x(img, factor):
-    return _affine(img, (1.0, factor, 0.0, 0.0, 1.0, 0.0))
+    t, h, w, c = img.shape
+    X, Y = _grid(h, w)
+    return _resample_x(img, X + factor * Y)
 
 
 def _shear_y(img, factor):
-    return _affine(img, (1.0, 0.0, 0.0, factor, 1.0, 0.0))
+    t, h, w, c = img.shape
+    X, Y = _grid(h, w)
+    return _resample_y(img, Y + factor * X)
 
 
 def _translate_x(img, pixels):
-    return _affine(img, (1.0, 0.0, pixels, 0.0, 1.0, 0.0))
+    t, h, w, c = img.shape
+    X, Y = _grid(h, w)
+    return _resample_x(img, X + pixels)
 
 
 def _translate_y(img, pixels):
-    return _affine(img, (1.0, 0.0, 0.0, 0.0, 1.0, pixels))
+    t, h, w, c = img.shape
+    X, Y = _grid(h, w)
+    return _resample_y(img, Y + pixels)
 
 
 # --------------------------------------------------------------- color ops

@@ -77,3 +77,39 @@ def test_rand_augment_deterministic_per_key():
     a = ra(jax.random.PRNGKey(7), img)
     b = ra(jax.random.PRNGKey(7), img)
     np.testing.assert_array_equal(a, b)
+
+
+def test_matmul_warp_matches_gather_affine():
+    """Single-pass warps (shear/translate) must match the legacy gather
+    affine bit-for-bit-ish; rotation (Paeth 3-shear) agrees at 0 degrees."""
+    import numpy as np
+
+    from pmv_tpu.data import rand_augment as ra
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (2, 17, 23, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        ra._shear_x(img, 0.2),
+        ra._affine(img, (1.0, 0.2, 0.0, 0.0, 1.0, 0.0)),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        ra._shear_y(img, -0.15),
+        ra._affine(img, (1.0, 0.0, 0.0, -0.15, 1.0, 0.0)),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        ra._translate_x(img, 2.5),
+        ra._affine(img, (1.0, 0.0, 2.5, 0.0, 1.0, 0.0)),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        ra._translate_y(img, 3.7),
+        ra._affine(img, (1.0, 0.0, 0.0, 0.0, 1.0, 3.7)),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(ra._rotate(img, 0.0), img, atol=1e-3)
+    # Rotation composes 3 shears; values stay in range and the grid rotates
+    # (interior energy preserved within interpolation softening).
+    r = ra._rotate(img, 20.0)
+    assert float(jnp.min(r)) >= -1e-3 and float(jnp.max(r)) <= 255.001

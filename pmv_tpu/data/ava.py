@@ -198,6 +198,10 @@ class Ava:
                 if 0 <= l < self.cfg.MODEL.NUM_CLASSES:
                     label_out[i, l] = 1.0
 
+        # Original (normalized) boxes padded like `boxes` so batches stack;
+        # the AVA evaluator consumes the box_mask-selected rows.
+        ori_out = np.zeros((MAX_BOXES, 4), np.float32)
+        ori_out[:n] = np.asarray(boxes, np.float32).reshape(-1, 4)[:n]
         return {
             "frames": np.ascontiguousarray(
                 np.clip(frames, 0, 255).astype(np.uint8)
@@ -205,7 +209,7 @@ class Ava:
             "label": label_out,
             "boxes": boxes_out,
             "box_mask": mask,
-            "ori_boxes": boxes,
+            "ori_boxes": ori_out,
             "metadata": np.array([video_idx, sec], np.int64),
             "index": idx,
             "time": 0.0,

@@ -81,11 +81,12 @@ def extract_features(cfg, state, model, mesh):
 
 
 def test_detection(cfg, state, model, mesh):
-    """AVA-style detection eval: per-keyframe box scores -> PASCAL mAP
-    (`test_net.py` AVAMeter path + `ava_eval_helper.py`)."""
-    import jax.numpy as jnp
-
-    from pmv_tpu.utils.ava_eval import evaluate_detections
+    """AVA detection eval through the AVAMeter protocol
+    (`test_net.py` AVAMeter path + `ava_eval_helper.py`): label-map
+    whitelist, excluded timestamps, groundtruth CSV; falls back to
+    batch-derived groundtruth when no GROUNDTRUTH_FILE is shipped
+    (synthetic/smoke datasets)."""
+    from collections import defaultdict
 
     test_loader = loader_mod.construct_loader(cfg, "test")
     preprocess = steps.make_eval_preprocess_fn(cfg)
@@ -102,8 +103,21 @@ def test_detection(cfg, state, model, mesh):
             variables, xs, train=False, boxes=boxes, box_mask=box_mask
         )
 
-    groundtruth, detections = {}, {}
-    for batch in test_loader:
+    video_idx_to_name = getattr(test_loader.dataset, "_video_names", None)
+    meter = meters_mod.AVAMeter(
+        len(test_loader), cfg, mode="test",
+        video_idx_to_name=video_idx_to_name,
+    )
+    have_gt_file = meter.full_groundtruth is not None
+    gt_boxes_d = defaultdict(list)
+    gt_labels_d = defaultdict(list)
+    gt_scores_d = defaultdict(list)
+
+    from pmv_tpu.utils.ava_eval import make_image_key
+
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(test_loader):
+        meter.data_toc()
         scores = np.asarray(
             jax.device_get(
                 det_step(
@@ -112,37 +126,45 @@ def test_detection(cfg, state, model, mesh):
             ),
             dtype=np.float32,
         )
-        for b in range(scores.shape[0]):
-            key = tuple(batch["metadata"][b].tolist())
-            valid = batch["box_mask"][b]
-            boxes = batch["boxes"][b][valid]
-            labels_hot = batch["label"][b][valid] if "label" in batch else (
-                batch["labels"][b][valid]
-            )
-            gt_boxes, gt_labels = [], []
-            det_boxes, det_labels, det_scores = [], [], []
-            for i in range(len(boxes)):
-                for c in np.nonzero(labels_hot[i])[0]:
-                    gt_boxes.append(boxes[i])
-                    gt_labels.append(int(c))
-                for c in range(scores.shape[-1]):
-                    det_boxes.append(boxes[i])
-                    det_labels.append(c)
-                    det_scores.append(scores[b, np.arange(len(valid))[valid][i], c])
-            groundtruth[key] = (np.asarray(gt_boxes), np.asarray(gt_labels))
-            detections[key] = (
-                np.asarray(det_boxes),
-                np.asarray(det_labels),
-                np.asarray(det_scores),
-            )
-    mean_ap, per_class = evaluate_detections(
-        groundtruth, detections, cfg.MODEL.NUM_CLASSES
+        mask = np.asarray(batch["box_mask"], bool)  # [B, M]
+        b_idx, m_idx = np.nonzero(mask)
+        preds = scores[b_idx, m_idx]  # [K, C]
+        ori = np.asarray(batch["ori_boxes"], np.float32)[b_idx, m_idx]
+        metadata = np.asarray(batch["metadata"])[b_idx]  # [K, 2]
+        preds, ori, metadata = _allgather_if_multihost(
+            [preds, ori, metadata]
+        )
+        meter.iter_toc()
+        meter.update_stats(preds, ori, metadata)
+        if not have_gt_file:
+            # Batch-derived groundtruth in AVA dict format (detection
+            # labels are 1-based action ids).
+            labels_hot = np.asarray(batch["labels"], np.float32)[b_idx, m_idx]
+            for k in range(len(b_idx)):
+                m = metadata[k] if metadata.ndim == 2 else metadata
+                name = (
+                    video_idx_to_name[int(m[0])]
+                    if video_idx_to_name is not None
+                    else str(int(m[0]))
+                )
+                key = make_image_key(name, int(m[1]))
+                y1, x1, y2, x2 = ori[k][[1, 0, 3, 2]]
+                for c in np.nonzero(labels_hot[k])[0]:
+                    gt_boxes_d[key].append([y1, x1, y2, x2])
+                    gt_labels_d[key].append(int(c) + 1)
+                    gt_scores_d[key].append(1.0)
+        meter.log_iter_stats(None, cur_iter)
+        meter.iter_tic()
+
+    groundtruth = (
+        None if have_gt_file else (gt_boxes_d, gt_labels_d, gt_scores_d)
     )
+    mean_ap = meter.finalize_metrics(log=False, groundtruth=groundtruth)
     logger.info("AVA mAP: %.4f", mean_ap)
     pmv_logging.log_json_stats(
         {"split": "test_final", "map": mean_ap}, logger
     )
-    return {"map": mean_ap, "per_class": per_class}
+    return {"map": mean_ap}
 
 
 def test_one(cfg, state, model, model_port, mesh, rel_ratio=None):

@@ -424,3 +424,163 @@ class EpochTimer:
 
     def median_epoch_time(self):
         return float(np.median(self.epoch_times))
+
+
+class AVAMeter:
+    """AVA train/val/test meter (`MViT/slowfast/utils/meters.py:46-260`).
+
+    Accumulates (preds, ori_boxes, metadata) across iterations and computes
+    the full PASCAL mAP via the AVA protocol (label map whitelist,
+    excluded timestamps, groundtruth CSV) in finalize_metrics. In train/val
+    without a full test, groundtruth is the mini subset (sec % 4 == 0).
+    """
+
+    def __init__(self, overall_iters, cfg, mode, video_idx_to_name=None):
+        import os
+
+        from pmv_tpu.utils import ava_eval
+
+        self.cfg = cfg
+        self.lr = None
+        self.loss = ScalarMeter(cfg.LOG_PERIOD)
+        self.full_ava_test = cfg.AVA.FULL_TEST_ON_VAL
+        self.mode = mode
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_metadata = []
+        self.overall_iters = overall_iters
+        self.full_map = 0.0
+        self.stats = {}
+        ann = cfg.AVA.ANNOTATION_DIR
+        exclusion = os.path.join(ann, cfg.AVA.EXCLUSION_FILE)
+        self.excluded_keys = (
+            ava_eval.read_exclusions(exclusion)
+            if ann and os.path.exists(exclusion)
+            else set()
+        )
+        labelmap = os.path.join(ann, cfg.AVA.LABEL_MAP_FILE)
+        if ann and os.path.exists(labelmap):
+            self.categories, self.class_whitelist = ava_eval.read_labelmap(
+                labelmap
+            )
+        else:
+            # No label map shipped: every model class is whitelisted.
+            self.class_whitelist = set(
+                range(1, cfg.MODEL.NUM_CLASSES + 1)
+            )
+            self.categories = [
+                {"id": i, "name": str(i)} for i in self.class_whitelist
+            ]
+        gt_file = os.path.join(ann, cfg.AVA.GROUNDTRUTH_FILE)
+        if ann and os.path.exists(gt_file):
+            self.full_groundtruth = ava_eval.read_csv(
+                gt_file, self.class_whitelist
+            )
+            self.mini_groundtruth = ava_eval.get_ava_mini_groundtruth(
+                self.full_groundtruth
+            )
+        else:
+            self.full_groundtruth = self.mini_groundtruth = None
+        self.video_idx_to_name = video_idx_to_name
+        self.output_dir = cfg.OUTPUT_DIR
+
+    def log_iter_stats(self, cur_epoch, cur_iter):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        eta_sec = self.iter_timer.seconds() * (self.overall_iters - cur_iter)
+        eta = str(datetime.timedelta(seconds=int(eta_sec)))
+        stats = {
+            "_type": "{}_iter".format(self.mode),
+            "cur_iter": "{}".format(cur_iter + 1),
+            "eta": eta,
+            "dt": self.iter_timer.seconds(),
+            "dt_data": self.data_timer.seconds(),
+            "dt_net": self.net_timer.seconds(),
+            "mode": self.mode,
+        }
+        if self.mode in ("train", "val"):
+            stats["cur_epoch"] = "{}/{}".format(
+                cur_epoch + 1, self.cfg.SOLVER.MAX_EPOCH
+            )
+        if self.mode == "train":
+            stats["loss"] = self.loss.get_win_median()
+            stats["lr"] = self.lr
+        pmv_logging.log_json_stats(stats, logger)
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+        self.data_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+        self.net_timer.pause()
+
+    def data_toc(self):
+        self.data_timer.pause()
+        self.net_timer.reset()
+
+    def reset(self):
+        self.loss.reset()
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_metadata = []
+
+    def update_stats(self, preds, ori_boxes, metadata, loss=None, lr=None):
+        if self.mode in ("val", "test"):
+            self.all_preds.append(np.asarray(preds))
+            self.all_ori_boxes.append(np.asarray(ori_boxes))
+            self.all_metadata.append(np.asarray(metadata))
+        if loss is not None:
+            self.loss.add_value(loss)
+        if lr is not None:
+            self.lr = lr
+
+    def finalize_metrics(self, log=True, groundtruth=None):
+        """Compute mAP. groundtruth overrides the CSV-loaded set (used by
+        the synthetic-annotation fallback path)."""
+        from pmv_tpu.utils import ava_eval
+
+        all_preds = np.concatenate(self.all_preds, axis=0)
+        all_ori_boxes = np.concatenate(self.all_ori_boxes, axis=0)
+        all_metadata = np.concatenate(self.all_metadata, axis=0)
+        if groundtruth is None:
+            groundtruth = (
+                self.full_groundtruth
+                if self.mode == "test"
+                or (self.full_ava_test and self.mode == "val")
+                else self.mini_groundtruth
+            )
+        assert groundtruth is not None, (
+            "AVA groundtruth unavailable: set AVA.ANNOTATION_DIR/"
+            "AVA.GROUNDTRUTH_FILE or pass groundtruth explicitly"
+        )
+        self.full_map = ava_eval.evaluate_ava(
+            all_preds,
+            all_ori_boxes,
+            all_metadata,
+            self.excluded_keys,
+            self.class_whitelist,
+            self.categories,
+            groundtruth=groundtruth,
+            video_idx_to_name=self.video_idx_to_name,
+        )
+        if log:
+            stats = {"mode": self.mode, "map": self.full_map}
+            pmv_logging.log_json_stats(stats, logger)
+        return self.full_map
+
+    def log_epoch_stats(self, cur_epoch):
+        if self.mode not in ("val", "test"):
+            return
+        self.finalize_metrics(log=False)
+        stats = {
+            "_type": "{}_epoch".format(self.mode),
+            "cur_epoch": "{}".format(cur_epoch + 1),
+            "mode": self.mode,
+            "map": self.full_map,
+            "gpu_mem": "{:.2f}G".format(gpu_mem_usage()),
+        }
+        pmv_logging.log_json_stats(stats, logger)

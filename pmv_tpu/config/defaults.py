@@ -44,6 +44,10 @@ _C.AUG.RE_PROB = 0.25
 _C.AUG.RE_MODE = "pixel"
 _C.AUG.RE_COUNT = 1
 _C.AUG.RE_SPLIT = False
+# On-device RandAugment op-sampling granularity: how many batch chunks draw
+# independent op chains per step. 0 = auto (max(2, NUM_SAMPLE)); -1 = one
+# chain per clip (the reference's per-clip CPU sampling, `kinetics.py:429`).
+_C.AUG.RA_GROUPS = 0
 _C.AUG.MASK_FRAMES = False
 _C.AUG.MASK_TUBE = False
 _C.AUG.MASK_WINDOW_SIZE = [8, 7, 7]

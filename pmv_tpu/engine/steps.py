@@ -50,7 +50,14 @@ def make_preprocess_fn(cfg, train: bool):
 
     # With repeated augmentation the batch is copy-major (loader collate),
     # so >= NUM_SAMPLE groups give each copy of a clip a different op chain.
-    ra_groups = max(2, cfg.AUG.NUM_SAMPLE)
+    # AUG.RA_GROUPS overrides: -1 = per-clip chains (reference sampling,
+    # `kinetics.py:429-440`), N > 0 = N chunks.
+    if cfg.AUG.RA_GROUPS == -1:
+        ra_groups = 1 << 30  # clamped to the batch size in apply_batch
+    elif cfg.AUG.RA_GROUPS > 0:
+        ra_groups = cfg.AUG.RA_GROUPS
+    else:
+        ra_groups = max(2, cfg.AUG.NUM_SAMPLE)
 
     use_ava_color = (
         train

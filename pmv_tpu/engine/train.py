@@ -221,6 +221,19 @@ def train(cfg):
             example_batch=example_batch,
         )
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    if (
+        start_epoch == 0
+        and not cfg.TRAIN.CHECKPOINT_FILE_PATH
+        and cfg.MODEL.MODEL_NAME in ("Uniformer", "Uniformerframe")
+        and cfg.UNIFORMER.PRETRAIN_NAME
+    ):
+        # Pretrain registry auto-load (`Uniformer/slowfast/models/
+        # build.py:42-46` + `uniformer.py:16-29`).
+        from pmv_tpu.utils import pretrain
+
+        state = state.replace(
+            params=pretrain.load_pretrained_params(cfg, state.params)
+        )
     state = mesh_lib.replicate(state, mesh)
 
     if cfg.DETECTION.ENABLE:

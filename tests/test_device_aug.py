@@ -113,3 +113,26 @@ def test_matmul_warp_matches_gather_affine():
     # (interior energy preserved within interpolation softening).
     r = ra._rotate(img, 20.0)
     assert float(jnp.min(r)) >= -1e-3 and float(jnp.max(r)) <= 255.001
+
+
+def test_rand_augment_per_clip_groups():
+    """AUG.RA_GROUPS=-1: every clip draws its own op chain
+    (reference per-clip sampling, `kinetics.py:429-440`)."""
+    import numpy as np
+
+    from pmv_tpu.data.rand_augment import RandAugment
+
+    ra = RandAugment("rand-m7-n2-mstd0.5-inc1")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (4, 2, 16, 16, 3)), jnp.float32)
+    out = ra.apply_batch(jax.random.PRNGKey(3), x, groups=1 << 30)
+    assert out.shape == x.shape
+    # With 4 independent chains the per-clip outputs differ pairwise almost
+    # surely (different ops/magnitudes).
+    diffs = [
+        float(jnp.abs(out[i] - out[j]).mean())
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    changed = [float(jnp.abs(out[i] - x[i]).mean()) for i in range(4)]
+    assert sum(c > 0 for c in changed) >= 3

@@ -1,5 +1,6 @@
-"""PMV-400 data-list compatibility: parse the REAL reference split CSVs
-(`MViT/data_list/PMV/{split}_pmv400.csv`, comma-separated `path,label` rows)
+"""PMV-400 data-list compatibility: parse the in-tree split CSVs
+(`data_list/PMV/{split}_pmv400.csv`, byte-identical to the reference's
+`MViT/data_list/PMV/*`, comma-separated `path,label` rows)
 through the Kinetics dataset with the released recipe's config surface
 (`run_uniformer_s16x4_PMV_release.sh:22` PATH_LABEL_SEPARATOR ",",
 `DATA.PM_SUBSET _pmv400`)."""
@@ -12,11 +13,12 @@ from pmv_tpu.config import get_cfg
 import pmv_tpu.data  # noqa: F401
 from pmv_tpu.data.build import build_dataset
 
-PMV_LIST_DIR = "/root/reference/MViT/data_list/PMV"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PMV_LIST_DIR = os.path.join(REPO, "data_list", "PMV")
 
 
 @pytest.mark.skipif(
-    not os.path.isdir(PMV_LIST_DIR), reason="reference data lists absent"
+    not os.path.isdir(PMV_LIST_DIR), reason="data lists absent"
 )
 @pytest.mark.parametrize(
     "mode,expected_rows",
@@ -44,13 +46,12 @@ def test_pmv400_split_csvs_parse(mode, expected_rows):
 
 
 @pytest.mark.skipif(
-    not os.path.isdir("/root/reference/data"),
-    reason="reference taxonomy absent",
+    not os.path.isdir(PMV_LIST_DIR), reason="data lists absent"
 )
 def test_class_name_mapping_parses():
     """Taxonomy CSV (`data/class_name_mapping.csv`): id <-> name rows for
     the 400 classes, consumable by the demo's label file loader."""
-    path = "/root/reference/data/class_name_mapping.csv"
+    path = os.path.join(REPO, "data", "class_name_mapping.csv")
     import csv
 
     with open(path, newline="") as f:

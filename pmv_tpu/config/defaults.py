@@ -150,11 +150,13 @@ _C.MVIT.SEPARATE_QKV = False
 _C.MVIT.HEAD_INIT_SCALE = 1.0
 _C.MVIT.USE_MEAN_POOLING = False
 _C.MVIT.USE_FIXED_SINCOS_POS = False
-# TPU: use the Pallas fused attention kernel where shapes allow. Off by
-# default since the bias-in-matmul XLA path (attention.py) overtook it on
-# v5e (full step 155.7 ms vs 164.1 at bs 8); the kernel remains for
-# shapes/backends where a materialized [Nq,Nk] matrix cannot fit.
-_C.MVIT.USE_PALLAS_ATTENTION = False
+# TPU: use the Pallas fused attention kernel where shapes allow. The
+# tokens-major zero-copy kernel (ops/attention_pallas.py) beats the
+# bias-in-matmul XLA path standalone on most v5e geometries
+# (tools/micro_attn.py), but end-to-end only the 1-head block0 train
+# geometry wins (tools/ablate.py, see models/attention.py gates); the
+# per-geometry gates keep XLA everywhere it wins in the full step.
+_C.MVIT.USE_PALLAS_ATTENTION = True
 # TPU: hand-written depthwise conv kernel for the stride-1 3x3x3 pooling
 # convs. Off by default: measured SLOWER than XLA's grouped conv on v5e
 # (full step 200 vs 172 ms; kernel fwd 1.7 vs 0.3 ms at stage 1 — the

@@ -32,6 +32,15 @@ from pmv_tpu.models.common import DropPath, Mlp, max_pool_3d, avg_pool_3d, trunc
 # wins only for the large early-stage sequences; stage-3's Nq=1570 runs
 # faster on the XLA einsum path.
 FUSED_ATTENTION_MIN_Q = 4096
+# End-to-end v5e ablation (tools/ablate.py, bs 8): only the 1-head block0
+# train geometry wins in the full step (107.7 vs 108.3 ms); the wide-K
+# train kernel (111.4) and the eval kernel (46.4 vs 42.9 ms) LOSE despite
+# winning standalone (tools/micro_attn.py) — pallas_call is a fusion
+# barrier, and XLA fuses the surrounding projections/LN into its own
+# attention einsums. Gates encode exactly the winning case.
+FUSED_ATTENTION_TRAIN_MIN_K = 10 ** 9
+FUSED_ATTENTION_TRAIN_H1 = True   # train: use kernel for 1-head blocks
+FUSED_ATTENTION_EVAL = False      # eval: XLA path wins end-to-end
 _DIAG_SKIP_POOL_LN = False  # diagnostic only
 
 
@@ -435,15 +444,35 @@ class MultiScaleAttention(nn.Module):
             and jax.default_backend() == "tpu"
             # The kernel pays off where the attention matrix is large; short
             # sequences keep the XLA path (fewer kernel compilations).
-            and q.shape[2] >= FUSED_ATTENTION_MIN_Q
+            and q.shape[1] >= FUSED_ATTENTION_MIN_Q
+            # Training (fwd+bwd) measured per geometry on v5e
+            # (tools/micro_attn.py): the flash-style recompute backward wins
+            # for 1-head blocks and wide pooled-K blocks, but loses to XLA's
+            # stored-probabilities backward when K is narrow and heads > 1
+            # (b2: 6.24 vs 5.12 ms). Eval uses the kernel everywhere above
+            # the Nq gate (wins all measured geometries).
+            and (
+                FUSED_ATTENTION_EVAL
+                if deterministic
+                else (
+                    (self.num_heads == 1 and FUSED_ATTENTION_TRAIN_H1)
+                    or k.shape[1] >= FUSED_ATTENTION_TRAIN_MIN_K
+                )
+            )
         )
+        if fused and not deterministic:
+            # The backward kernel keeps f32 dk/dv resident across Q tiles;
+            # wide-K many-head geometries can exceed scoped VMEM.
+            from pmv_tpu.ops.attention_pallas import bwd_fits_vmem
+
+            fused = bwd_fits_vmem(k.shape[1], self.num_heads, q.shape[-1])
         if fused:
             # Pallas fused attention: bias expanded in VMEM, the [Nq, Nk]
-            # attention matrix never touches HBM (pmv_tpu/ops).
+            # attention matrix never touches HBM (pmv_tpu/ops). Operates on
+            # the tokens-major [B, N, H, D] layout in place — no transpose
+            # or pad copies of the (huge) Q-side tensors.
             from pmv_tpu.ops.attention_pallas import fused_rel_attention
 
-            B_, Nq_, H_, D_ = q.shape
-            Nk_ = k.shape[1]
             k_t, k_h, k_w = k_shape
             rh, rw = rel_q_tables_spatial(
                 q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
@@ -462,22 +491,12 @@ class MultiScaleAttention(nn.Module):
                 rw = jnp.pad(rw, pad_row)
                 rt = jnp.pad(rt, pad_row) if rt is not None else None
 
-            def bh(t):  # [B, N, H, D] -> [B*H, N, D] for the kernel
-                return t.transpose(0, 2, 1, 3).reshape(
-                    B_ * H_, t.shape[1], -1
-                )
-
             # s = (q*scale) @ k^T + bias, where the bias tables come from
             # the *unscaled* q (reference semantics, `attention.py:413`).
             x = fused_rel_attention(
-                bh(q * scale),
-                bh(k),
-                bh(v),
-                bh(rh),
-                bh(rw),
-                bh(rt) if rt is not None else None,
-                1.0, k_t, k_h, k_w, self.has_cls_embed,
-            ).reshape(B_, H_, Nq_, D_).transpose(0, 2, 1, 3)
+                q, k, v, rh, rw, rt,
+                scale, k_t, k_h, k_w, self.has_cls_embed,
+            )
         elif self.rel_pos_spatial:
             # Bias folded into the QK^T matmul: S = [q*scale | rcat] @
             # [k | E^T]^T where rcat = [rh|rw(|rt)] are the compact per-row

@@ -11,16 +11,17 @@ from pmv_tpu.ops.attention_pallas import (
 )
 
 
-def _make_inputs(bh=2, kt=2, kh=3, kw=4, d=16, q_n=60, has_cls=True, key=0):
+def _make_inputs(b=2, h=2, kt=2, kh=3, kw=4, d=16, q_n=60, has_cls=True,
+                 key=0):
     nk = kt * kh * kw + (1 if has_cls else 0)
     nq = q_n + (1 if has_cls else 0)
     ks = jax.random.split(jax.random.PRNGKey(key), 6)
-    q = jax.random.normal(ks[0], (bh, nq, d), jnp.float32)
-    k = jax.random.normal(ks[1], (bh, nk, d), jnp.float32)
-    v = jax.random.normal(ks[2], (bh, nk, d), jnp.float32)
-    rh = jax.random.normal(ks[3], (bh, nq, kh), jnp.float32) * 0.1
-    rw = jax.random.normal(ks[4], (bh, nq, kw), jnp.float32) * 0.1
-    rt = jax.random.normal(ks[5], (bh, nq, kt), jnp.float32) * 0.1
+    q = jax.random.normal(ks[0], (b, nq, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, nk, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, nk, h, d), jnp.float32)
+    rh = jax.random.normal(ks[3], (b, nq, h, kh), jnp.float32) * 0.1
+    rw = jax.random.normal(ks[4], (b, nq, h, kw), jnp.float32) * 0.1
+    rt = jax.random.normal(ks[5], (b, nq, h, kt), jnp.float32) * 0.1
     if has_cls:
         # cls rows carry zero bias by contract.
         rh = rh.at[:, 0].set(0)
@@ -29,29 +30,67 @@ def _make_inputs(bh=2, kt=2, kh=3, kw=4, d=16, q_n=60, has_cls=True, key=0):
     return q, k, v, rh, rw, rt
 
 
+@pytest.mark.parametrize("h", [1, 2])
 @pytest.mark.parametrize("has_cls", [True, False])
 @pytest.mark.parametrize("with_rt", [True, False])
-def test_fused_matches_reference(has_cls, with_rt):
+def test_fused_matches_reference(has_cls, with_rt, h):
     kt, kh, kw = 2, 3, 4
-    q, k, v, rh, rw, rt = _make_inputs(has_cls=has_cls)
+    q, k, v, rh, rw, rt = _make_inputs(h=h, has_cls=has_cls)
     rt_in = rt if with_rt else None
     out = fused_rel_attention(q, k, v, rh, rw, rt_in, 0.25, kt, kh, kw, has_cls)
     ref = _reference_attention(
-        q * 0.25, k, v, rh, rw, rt_in, 1.0, kt, kh, kw, has_cls
+        q, k, v, rh, rw, rt_in, 0.25, kt, kh, kw, has_cls
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_fused_gradients_match_reference():
+def test_fused_tail_tile_rows():
+    """nq that does not divide the tile: tail rows must still be exact and
+    must not pollute dk/dv through out-of-bounds garbage."""
     kt, kh, kw = 2, 3, 4
-    q, k, v, rh, rw, rt = _make_inputs()
+    q, k, v, rh, rw, rt = _make_inputs(q_n=60, has_cls=True)
+
+    # Force multiple tiles by patching the tile picker.
+    import pmv_tpu.ops.attention_pallas as ap
+
+    orig = ap._pick_tile
+    ap._pick_tile = lambda nq, nkp, *a: (16, -(-nq // 16))
+    try:
+        out = fused_rel_attention(q, k, v, rh, rw, rt, 0.25, kt, kh, kw, True)
+        ref = _reference_attention(q, k, v, rh, rw, rt, 0.25, kt, kh, kw, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+        def loss_fused(q, k, v, rh, rw, rt):
+            o = fused_rel_attention(q, k, v, rh, rw, rt, 0.25, kt, kh, kw, True)
+            return jnp.sum(o ** 2)
+
+        def loss_ref(q, k, v, rh, rw, rt):
+            o = _reference_attention(q, k, v, rh, rw, rt, 0.25, kt, kh, kw, True)
+            return jnp.sum(o ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(
+            q, k, v, rh, rw, rt
+        )
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+            q, k, v, rh, rw, rt
+        )
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    finally:
+        ap._pick_tile = orig
+
+
+@pytest.mark.parametrize("h", [1, 2])
+def test_fused_gradients_match_reference(h):
+    kt, kh, kw = 2, 3, 4
+    q, k, v, rh, rw, rt = _make_inputs(h=h)
 
     def loss_fused(q, k, v, rh, rw, rt):
         o = fused_rel_attention(q, k, v, rh, rw, rt, 0.25, kt, kh, kw, True)
         return jnp.sum(o ** 2)
 
     def loss_ref(q, k, v, rh, rw, rt):
-        o = _reference_attention(q * 0.25, k, v, rh, rw, rt, 1.0, kt, kh, kw, True)
+        o = _reference_attention(q, k, v, rh, rw, rt, 0.25, kt, kh, kw, True)
         return jnp.sum(o ** 2)
 
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rh, rw, rt)
@@ -95,16 +134,21 @@ def test_fused_in_model_matches_xla_path():
 
     m_pl = build_model(cfg_with(True), dtype=jnp.float32)
     # Force the fused path on CPU: model gate via backend monkeypatch, the
-    # kernel itself via the interpret override.
+    # kernel itself via the interpret override; drop the min-Nq gate so the
+    # tiny grid takes the kernel.
+    import pmv_tpu.models.attention as attn_mod
     import pmv_tpu.ops.attention_pallas as ap
 
     orig = jax.default_backend
+    orig_gate = attn_mod.FUSED_ATTENTION_MIN_Q
     try:
         jax.default_backend = lambda: "tpu"
+        attn_mod.FUSED_ATTENTION_MIN_Q = 0
         ap.INTERPRET_OVERRIDE = True
         out_pl = m_pl.apply(variables, x, train=False)
     finally:
         jax.default_backend = orig
+        attn_mod.FUSED_ATTENTION_MIN_Q = orig_gate
         ap.INTERPRET_OVERRIDE = None
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_xla), atol=2e-4, rtol=1e-4

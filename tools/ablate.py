@@ -59,6 +59,14 @@ VARIANTS = {
     "remat12": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
     "remat12_bs32": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
     "remat12_bs64": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
+    # Fused-attention isolation (module-constant overrides, see time_variant)
+    "xla_attn": lambda c: _set(c, [("MVIT.USE_PALLAS_ATTENTION", False)]),
+    "attn_pl_b0": lambda c: c,      # train kernel on block0 (h==1) only
+    "attn_pl_b1": lambda c: c,      # train kernel on wide-K (block1) only
+    "attn_pl_evalonly": lambda c: c,  # kernel in eval graphs only
+    "eval_fwd_xla": lambda c: _set(
+        c, [("MVIT.USE_PALLAS_ATTENTION", False)]
+    ),  # handled specially: eval step
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
     "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
     "auto_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "auto")]),
@@ -96,8 +104,16 @@ def make_batch(cfg, batch_size):
 
 def time_variant(name):
     from pmv_tpu.engine import steps
+    from pmv_tpu.models import attention as attn_mod
     from pmv_tpu.models import build_model
     from pmv_tpu.parallel import mesh as mesh_lib
+
+    if name.startswith("attn_pl_"):
+        attn_mod.FUSED_ATTENTION_TRAIN_H1 = name == "attn_pl_b0"
+        attn_mod.FUSED_ATTENTION_TRAIN_MIN_K = (
+            1024 if name == "attn_pl_b1" else 10 ** 9
+        )
+        attn_mod.FUSED_ATTENTION_EVAL = name == "attn_pl_evalonly"
 
     cfg = VARIANTS[name](base_cfg())
     batch_size = {
@@ -113,7 +129,7 @@ def time_variant(name):
     state = mesh_lib.replicate(state, mesh)
     device_batch = mesh_lib.shard_batch(batch, mesh)
 
-    if name == "eval_fwd":
+    if name in ("eval_fwd", "eval_fwd_xla"):
         eval_step = jax.jit(steps.make_eval_step(cfg, model))
 
         def run():

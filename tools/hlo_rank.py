@@ -1,0 +1,106 @@
+"""Rank the entry-computation instructions of a dumped HLO module by
+estimated HBM traffic (operand + result bytes).
+
+On TPU every top-level scheduled op round-trips HBM for its operands and
+results, so summing shape sizes over the ENTRY instruction list is a good
+first-order traffic model (it over-counts operands that stay resident in
+VMEM across consumers, and fusions' internal temporaries are free). Use
+it to find which layers the memory-bound step actually spends on —
+`jax.profiler` hangs over the tunneled backend (ROADMAP), so this plus
+tools/hlo_dump.py is the attribution path.
+
+Usage:
+  python tools/hlo_dump.py train 8          # writes /tmp/mvit_hlo/train_bs8.txt
+  python tools/hlo_rank.py /tmp/mvit_hlo/train_bs8.txt [topn]
+"""
+
+import collections
+import re
+import sys
+
+DTYPE_BYTES = {
+    "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
+    "pred": 1, "s64": 8, "u64": 8, "f64": 8, "s16": 2, "u16": 2,
+}
+
+SHAPE_RE = re.compile(r"\b(f32|bf16|f16|f64|s64|s32|s16|s8|u64|u32|u16|u8|pred)\[([0-9,]*)\]")
+
+
+def shape_bytes(m):
+    dt, dims = m.group(1), m.group(2)
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * DTYPE_BYTES[dt]
+
+
+def line_bytes(line):
+    """Sum all shapes printed on an entry instruction line: the result
+    shape plus each operand's inline shape annotation."""
+    # Cut metadata/backend_config tails (no shapes there, but op_name
+    # strings can contain brackets).
+    cut = line.find(", metadata={")
+    if cut != -1:
+        line = line[:cut]
+    return sum(shape_bytes(m) for m in SHAPE_RE.finditer(line))
+
+
+OPNAME_RE = re.compile(r'op_name="([^"]*)"')
+
+
+def group_key(op_name):
+    """Collapse an op_name path to a readable layer bucket."""
+    # jit(train_step)/transpose(jvp(...))/... -> keep the model-path part
+    m = re.search(r"(blocks_\d+|patch_embed|head\b|norm\b|pos_embed|"
+                  r"rand_aug|erase|mixup|preprocess|opt|adamw?|sgd)", op_name)
+    tag = m.group(1) if m else (op_name.split("/")[-1][:40] or "?")
+    bwd = "transpose(" in op_name or "jvp(" in op_name and "transpose" in op_name
+    return f"{tag}{':bwd' if 'transpose(' in op_name else ''}"
+
+
+def main():
+    path = sys.argv[1]
+    topn = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    lines = open(path).read().splitlines()
+    # entry computation starts at 'ENTRY %'
+    try:
+        start = next(i for i, l in enumerate(lines) if l.startswith("ENTRY "))
+    except StopIteration:
+        sys.exit("no ENTRY computation found")
+    rows = []
+    groups = collections.Counter()
+    op_groups = collections.Counter()
+    total = 0
+    for l in lines[start + 1:]:
+        if l.startswith("}"):
+            break
+        ls = l.strip()
+        if not ls or ls.startswith("ROOT tuple") or "= " not in ls:
+            continue
+        name = ls.split(" = ", 1)[0]
+        b = line_bytes(ls)
+        total += b
+        m = OPNAME_RE.search(l)
+        op_name = m.group(1) if m else ""
+        op = ls.split(" = ", 1)[1]
+        opk = re.match(r"(?:\([^)]*\)|\S+)\s+(\w[\w-]*)", op)
+        kind = opk.group(1) if opk else "?"
+        groups[group_key(op_name)] += b
+        op_groups[kind] += b
+        rows.append((b, name, kind, op_name[:110]))
+    rows.sort(reverse=True)
+    print(f"total est. entry traffic: {total / 1e9:.1f} GB")
+    print("\n== top instructions ==")
+    for b, name, kind, op_name in rows[:topn]:
+        print(f"{b / 1e6:9.1f} MB  {kind:18s} {name[:36]:36s} {op_name}")
+    print("\n== by layer bucket ==")
+    for k, v in groups.most_common(30):
+        print(f"{v / 1e9:8.2f} GB  {k}")
+    print("\n== by op kind ==")
+    for k, v in op_groups.most_common(15):
+        print(f"{v / 1e9:8.2f} GB  {k}")
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,10 @@ def main():
     cfg.AUG.ENABLE = True
     cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
     cfg.AUG.RE_PROB = 0.25
+    # TPU-recipe knobs (both measured wins on v5e, see ROADMAP): native
+    # RngBitGenerator keys and a bf16 on-device augmentation chain.
+    cfg.TPU.PRNG_IMPL = "rbg"
+    cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
     platform = jax.devices()[0].platform
     if platform == "cpu":
         # CI fallback: tiny config so the bench finishes.
@@ -49,8 +53,10 @@ def main():
         # (`exps/PMV/run_MViT_PMV.sh`).
         batch_size = 8
 
+    from pmv_tpu.utils import misc
+
     model = build_model(cfg)
-    rng = jax.random.PRNGKey(0)
+    rng = misc.root_key(cfg)
     rng_np = np.random.default_rng(0)
     batch = {
         "frames": jnp.asarray(

@@ -590,6 +590,19 @@ _C.TPU.PROFILE_DIR = ""
 # activation stash (attention matrices at N~25k) is what blows the HBM
 # budget at larger batch sizes.
 _C.TPU.REMAT_MIN_SEQ = 0
+# Dtype for the fused on-device augmentation chain (RandAugment, erasing,
+# color jitter, normalize). The model casts to COMPUTE_DTYPE right after
+# preprocessing anyway, so "bfloat16" here only adds sub-quantization noise
+# to the (already random) augmentations while halving the aug chain's HBM
+# traffic — the step is bandwidth-bound (see ROADMAP). Empty = float32.
+_C.TPU.PREPROCESS_DTYPE = ""
+# PRNG implementation for the root training key ("" = JAX default,
+# threefry2x32). "rbg" routes all in-step randomness (dropout/drop-path,
+# RandAugment draws, erasing fill, mixup betas) through the TPU's native
+# RngBitGenerator instead of computing threefry rounds on the VPU —
+# cheaper bit generation for the aug-heavy train step at the cost of
+# stability of the random stream across compiler versions.
+_C.TPU.PRNG_IMPL = ""
 
 
 def get_cfg():

@@ -183,7 +183,7 @@ def _brightness(img, factor):
 
 def _sharpness(img, factor):
     kernel = jnp.array(
-        [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]], jnp.float32
+        [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]], img.dtype
     ) / 13.0
     t, h, w, c = img.shape
     x = jnp.moveaxis(img, -1, 1).reshape(t * c, 1, h, w)

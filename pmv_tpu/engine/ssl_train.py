@@ -26,7 +26,7 @@ def train_ssl(cfg):
     logger.info(pprint.pformat(cfg))
 
     mesh = mesh_lib.create_mesh(cfg)
-    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    rng = misc.root_key(cfg)
     model = build_model(cfg)
     train_loader = loader_mod.construct_loader(cfg, "train")
     example = next(iter(train_loader))

@@ -40,8 +40,11 @@ def make_preprocess_fn(cfg, train: bool):
     `kinetics.py:429-440`, normalize at `:443-448`, RandomErasing at
     `:505-515`) is fused into the jitted step.
     """
+    pdt = jnp.dtype(cfg.TPU.PREPROCESS_DTYPE or "float32")
     mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+    # Multiply by the reciprocal: one fused multiply-add in the aug dtype.
+    inv_std = (1.0 / (jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0))
+    mean, inv_std = mean.astype(pdt), inv_std.astype(pdt)
     use_ra = train and cfg.AUG.ENABLE and cfg.AUG.AA_TYPE
     use_re = train and cfg.AUG.ENABLE and cfg.AUG.RE_PROB > 0
     use_ssl_cj = train and cfg.DATA.SSL_COLOR_JITTER
@@ -66,7 +69,7 @@ def make_preprocess_fn(cfg, train: bool):
     )
 
     def preprocess(key, frames):
-        x = frames.astype(jnp.float32)
+        x = frames.astype(pdt)
         if cfg.DATA.USE_BGR_ORDER:
             x = x[..., ::-1]
         if use_ava_color:
@@ -109,7 +112,7 @@ def make_preprocess_fn(cfg, train: bool):
             # Batch-level op choice: per-sample switch under vmap would run
             # every branch for every sample (see RandAugment.apply_batch).
             x = ra.apply_batch(k_ra, x, groups=ra_groups)
-        x = (x - mean) / std
+        x = (x - mean) * inv_std
         if use_re:
             k_re, key = jax.random.split(key)
             x = random_erasing(
@@ -130,15 +133,18 @@ def make_eval_preprocess_fn(cfg):
     every eval-side step must route through this so train and eval see the
     same channel order.
     """
-    mean = jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0
-    std = jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0
+    pdt = jnp.dtype(cfg.TPU.PREPROCESS_DTYPE or "float32")
+    mean = (jnp.asarray(cfg.DATA.MEAN, jnp.float32) * 255.0).astype(pdt)
+    inv_std = (
+        1.0 / (jnp.asarray(cfg.DATA.STD, jnp.float32) * 255.0)
+    ).astype(pdt)
     use_bgr = cfg.DATA.USE_BGR_ORDER
 
     def preprocess(frames):
-        x = frames.astype(jnp.float32)
+        x = frames.astype(pdt)
         if use_bgr:
             x = x[..., ::-1]
-        return (x - mean) / std
+        return (x - mean) * inv_std
 
     return preprocess
 

@@ -266,7 +266,7 @@ def test(cfg):
     cfg.TEST.PROCESS = True
 
     mesh = mesh_lib.create_mesh(cfg)
-    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    rng = misc.root_key(cfg)
     model = build_model(cfg)
     needs_pm = cfg.DATA.TEST_CROP_SIZE_RECT_SWITCH_AUTO
     model_port = build_model(cfg, hw_switch=True) if needs_pm else None

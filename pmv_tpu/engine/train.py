@@ -196,7 +196,7 @@ def train(cfg):
         cfg = multigrid.init_multigrid(cfg)
 
     mesh = mesh_lib.create_mesh(cfg)
-    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    rng = misc.root_key(cfg)
 
     model = build_model(cfg)
     needs_pm = (

@@ -44,6 +44,52 @@ FUSED_ATTENTION_EVAL = False      # eval: XLA path wins end-to-end
 _DIAG_SKIP_POOL_LN = False  # diagnostic only
 
 
+class FusedQKVSplitDots(nn.Module):
+    """Fused-qkv projection computed as three dots on weight slices.
+
+    Parameter layout is identical to ``nn.Dense(3 * dim_out)`` (one
+    ``kernel``/``bias`` pair, checkpoint- and importer-compatible with the
+    reference's fused qkv linear, `attention.py:202-207`), but the output
+    is produced per-head-group: ``x @ W[:, i*D:(i+1)*D]`` is bit-exactly
+    ``(x @ W)[..., i*D:(i+1)*D]``, and slicing the *weight* (a few KB) is
+    free while slicing the [B, N, 3, H, C] activation costs a 100-230 MB
+    strided copy per block at stage-1 sizes — plus a pad+add-any pair in
+    the gradient (measured via tools/hlo_rank.py; the step is HBM-bound).
+    """
+
+    dim_out: int
+    num_heads: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, in_dim = x.shape
+        kernel = self.param(
+            "kernel", trunc_normal_init(0.02), (in_dim, 3 * self.dim_out)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (3 * self.dim_out,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        outs = []
+        for i in range(3):
+            w = jax.lax.slice_in_dim(
+                kernel, i * self.dim_out, (i + 1) * self.dim_out, axis=1
+            )
+            y = jnp.dot(x, w)
+            if bias is not None:
+                y = y + jax.lax.slice_in_dim(
+                    bias, i * self.dim_out, (i + 1) * self.dim_out, axis=0
+                )
+            outs.append(y.reshape(B, N, self.num_heads, -1))
+        return outs
+
+
 def interpolate_rel_pos(rel_pos, d):
     """Linear-resize a [L, C] rel-pos table to [d, C].
 
@@ -228,7 +274,13 @@ class AttentionPool(nn.Module):
                 # to XLA; the other impls stay selectable for other
                 # hardware/shapes.
                 impl = "xla"
-            if impl == "shift":
+            if impl == "slice":
+                # DIAGNOSTIC lower bound (wrong math, zero FLOPs): pooling
+                # as pure strided subsampling, to price the depthwise pool
+                # convs inside the end-to-end step (ablate.py pool_slice).
+                st, sh, sw = self.stride
+                x = x[:, ::st, ::sh, ::sw].astype(self.dtype)
+            elif impl == "shift":
                 # Lane-padded shifted-MAC depthwise (ops/pool_conv.py
                 # dw_shifted): no grouped-conv lowering fwd or bwd.
                 from pmv_tpu.ops.pool_conv import dw_shifted
@@ -362,9 +414,10 @@ class MultiScaleAttention(nn.Module):
             k = dense(self.dim_out, "k")(x).reshape(B, N, self.num_heads, -1)
             v = dense(self.dim_out, "v")(x).reshape(B, N, self.num_heads, -1)
         else:
-            qkv = dense(3 * self.dim_out, "qkv")(x)
-            qkv = qkv.reshape(B, N, 3, self.num_heads, -1)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            q, k, v = FusedQKVSplitDots(
+                dim_out=self.dim_out, num_heads=self.num_heads,
+                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
+            )(x)
 
         # Lane padding is exact but only gradient-safe in eval graphs.
         pad_lanes = deterministic and jax.default_backend() == "tpu"

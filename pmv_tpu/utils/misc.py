@@ -16,6 +16,20 @@ def params_count(params):
     )
 
 
+def root_key(cfg):
+    """Root PRNG key for a job: seeded with RNG_SEED, implementation
+    selected by TPU.PRNG_IMPL (see `config/defaults.py`). Every in-step
+    key derives from this by fold_in/split, so the impl choice propagates
+    to all augmentation/dropout randomness."""
+    import jax
+
+    impl = getattr(cfg.TPU, "PRNG_IMPL", "") or None
+    if impl is None:
+        return jax.random.PRNGKey(cfg.RNG_SEED)
+    # Typed key: carries the impl through every fold_in/split downstream.
+    return jax.random.key(cfg.RNG_SEED, impl=impl)
+
+
 def gpu_mem_usage():
     from pmv_tpu.utils.meters import gpu_mem_usage as _g
 

@@ -51,6 +51,17 @@ VARIANTS = {
     "bs64": lambda c: c,  # handled specially: batch 64
     "donate": lambda c: c,  # handled specially: donated state buffers
     "no_clip": lambda c: _set(c, [("SOLVER.CLIP_GRAD_L2NORM", 0.0)]),
+    "aug_bf16": lambda c: _set(c, [("TPU.PREPROCESS_DTYPE", "bfloat16")]),
+    "rbg": lambda c: _set(c, [("TPU.PRNG_IMPL", "rbg")]),
+    # DIAGNOSTIC (wrong math, timing only): pools as strided slices.
+    "pool_slice": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "slice")]),
+    "eval_pool_slice": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "slice")]),
+    "eval_norelpos": lambda c: _set(
+        c, [("MVIT.REL_POS_SPATIAL", False), ("MVIT.REL_POS_TEMPORAL", False)]
+    ),
+    "rbg_aug_bf16": lambda c: _set(
+        c, [("TPU.PRNG_IMPL", "rbg"), ("TPU.PREPROCESS_DTYPE", "bfloat16")]
+    ),
     "remat": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "remat_bs16": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "remat_bs32": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
@@ -122,14 +133,16 @@ def time_variant(name):
         "remat12_bs32": 32, "remat12_bs64": 64,
     }.get(name, BATCH)
     model = build_model(cfg)
-    rng = jax.random.PRNGKey(0)
+    from pmv_tpu.utils import misc
+
+    rng = misc.root_key(cfg)
     batch = make_batch(cfg, batch_size)
     mesh = mesh_lib.create_mesh()
     state, tx = steps.init_state(cfg, model, batch, rng)
     state = mesh_lib.replicate(state, mesh)
     device_batch = mesh_lib.shard_batch(batch, mesh)
 
-    if name in ("eval_fwd", "eval_fwd_xla"):
+    if name.startswith("eval_"):
         eval_step = jax.jit(steps.make_eval_step(cfg, model))
 
         def run():

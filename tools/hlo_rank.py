@@ -52,7 +52,7 @@ OPNAME_RE = re.compile(r'op_name="([^"]*)"')
 def group_key(op_name):
     """Collapse an op_name path to a readable layer bucket."""
     # jit(train_step)/transpose(jvp(...))/... -> keep the model-path part
-    m = re.search(r"(blocks_\d+|patch_embed|head\b|norm\b|pos_embed|"
+    m = re.search(r"(blocks[._]\d+|patch_embed|head\b|norm\b|pos_embed|"
                   r"rand_aug|erase|mixup|preprocess|opt|adamw?|sgd)", op_name)
     tag = m.group(1) if m else (op_name.split("/")[-1][:40] or "?")
     bwd = "transpose(" in op_name or "jvp(" in op_name and "transpose" in op_name
@@ -79,13 +79,18 @@ def main():
         if not ls or ls.startswith("ROOT tuple") or "= " not in ls:
             continue
         name = ls.split(" = ", 1)[0]
-        b = line_bytes(ls)
-        total += b
         m = OPNAME_RE.search(l)
         op_name = m.group(1) if m else ""
         op = ls.split(" = ", 1)[1]
         opk = re.match(r"(?:\([^)]*\)|\S+)\s+(\w[\w-]*)", op)
         kind = opk.group(1) if opk else "?"
+        # Aliasing / bookkeeping ops move no HBM bytes; *-done pairs are
+        # already counted at their *-start.
+        if kind in ("bitcast", "get-tuple-element", "tuple", "parameter",
+                    "constant", "copy-done", "async-done", "after-all"):
+            continue
+        b = line_bytes(ls)
+        total += b
         groups[group_key(op_name)] += b
         op_groups[kind] += b
         rows.append((b, name, kind, op_name[:110]))

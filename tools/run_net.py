@@ -13,6 +13,15 @@ import os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Honor JAX_PLATFORMS authoritatively: some PJRT plugins (the tunneled
+# axon TPU backend among them) override env-based platform selection, so a
+# CPU-pinned child process (tests/test_multiprocess_e2e.py) could silently
+# grab the real chip. jax.config wins over plugin auto-selection.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from pmv_tpu.config.defaults import assert_and_infer_cfg
 from pmv_tpu.config.parser import load_config, parse_args
 from pmv_tpu.parallel.mesh import init_distributed

@@ -212,3 +212,52 @@ def test_flops_count_tiny_model():
     f2 = misc.eval_flops_per_clip(state, cfg, model, batch2)
     assert f1 > 1e5
     assert abs(f2 - f1) / f1 < 0.2, (f1, f2)
+
+
+def test_rbg_prng_and_bf16_preprocess_train_step():
+    """TPU-recipe knobs (TPU.PRNG_IMPL=rbg, TPU.PREPROCESS_DTYPE=bfloat16,
+    bench.py defaults) run the full aug train step and keep loss finite;
+    the rbg typed key threads through fold_in/split in the step."""
+    from pmv_tpu.utils import misc
+
+    cfg = _tiny_mvit_cfg()
+    cfg.AUG.ENABLE = True
+    cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
+    cfg.AUG.RE_PROB = 0.25
+    cfg.TPU.PRNG_IMPL = "rbg"
+    cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
+    model = build_model(cfg)
+    rng = misc.root_key(cfg)
+    assert jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key)
+    batch = {
+        "frames": _frames(b=4, t=2, s=16),
+        "labels": jnp.asarray([0, 1, 2, 3]),
+    }
+    state, tx = steps.init_state(cfg, model, batch, rng)
+    train_step = jax.jit(steps.make_train_step(cfg, model, tx))
+    state, metrics = train_step(state, batch, rng, 1e-4)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_qkv_split_dots_matches_single_dense():
+    """FusedQKVSplitDots == nn.Dense(3*D) then slice (same columns of the
+    same kernel; tolerance covers backend reduction reassociation)."""
+    import flax.linen as nn
+
+    from pmv_tpu.models.attention import FusedQKVSplitDots
+
+    B, N, C, D, H = 2, 6, 8, 8, 2
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, N, C)),
+                    jnp.float32)
+    mod = FusedQKVSplitDots(dim_out=D, num_heads=H, use_bias=True,
+                            dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    q, k, v = mod.apply(params, x)
+    dense = nn.Dense(3 * D, use_bias=True)
+    ref = dense.apply({"params": params["params"]}, x)
+    ref = ref.reshape(B, N, 3, H, -1)
+    # Same math; backends may reassociate the reduction per output width.
+    for got, want in ((q, ref[:, :, 0]), (k, ref[:, :, 1]), (v, ref[:, :, 2])):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7
+        )

@@ -82,7 +82,10 @@ def main():
         m = OPNAME_RE.search(l)
         op_name = m.group(1) if m else ""
         op = ls.split(" = ", 1)[1]
-        opk = re.match(r"(?:\([^)]*\)|\S+)\s+(\w[\w-]*)", op)
+        # Opcode follows the result shape. Tuple-result shapes contain
+        # spaces and nested parens (layout annotations), so find the
+        # opcode as the token right before the operand list instead.
+        opk = re.search(r"(?:^|\s)([a-z][\w-]*)\(", op)
         kind = opk.group(1) if opk else "?"
         # Aliasing / bookkeeping ops move no HBM bytes; *-done pairs are
         # already counted at their *-start.

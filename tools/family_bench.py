@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Train-step throughput across model families (clips/s/chip, real TPU).
+
+bench.py tracks the flagship MViTv2-S recipe; this sweeps the other PMV
+families with their recipe batch sizes scaled to one chip so perf work
+covers the whole zoo (`exps/PMV/run_{Uniformer,X3D}_PMV.sh` recipes,
+UniFormer-S 16x4 bs 96/8GPU -> 12, X3D-M bs 64/8 -> 8).
+
+Prints one JSON line per family.
+Usage: python tools/family_bench.py [family ...]   (default: all)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pmv_tpu_jaxcache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (yaml, per-chip batch, train-recipe aug per exps/PMV scripts)
+FAMILIES = {
+    "uniformer_s_16x4": ("Kinetics/UNIFORMER_S_16x4_K400_exp.yaml", 12, True),
+    "x3d_m": ("Kinetics/X3D_M.yaml", 8, False),
+    "slowfast_8x8": ("Kinetics/SLOWFAST_8x8_R50.yaml", 8, False),
+    "mvitv2_s_16x4": ("Kinetics/MVITv2_S_16x4.yaml", 8, True),
+}
+
+
+def family_cfg(yaml_rel, aug):
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.config.defaults import assert_and_infer_cfg
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(REPO, "configs", yaml_rel))
+    cfg.NUM_GPUS = 1
+    cfg.NUM_SHARDS = 1
+    cfg.DATA_LOADER.NUM_WORKERS = 0
+    if aug and not cfg.AUG.ENABLE:
+        cfg.AUG.ENABLE = True
+        cfg.AUG.AA_TYPE = cfg.AUG.AA_TYPE or "rand-m7-n4-mstd0.5-inc1"
+    cfg.TPU.PRNG_IMPL = "rbg"
+    cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
+    return assert_and_infer_cfg(cfg)
+
+
+def time_family(name):
+    from pmv_tpu.engine import steps
+    from pmv_tpu.models import build_model
+    from pmv_tpu.parallel import mesh as mesh_lib
+    from pmv_tpu.utils import misc
+
+    yaml_rel, batch, aug = FAMILIES[name]
+    cfg = family_cfg(yaml_rel, aug)
+    model = build_model(cfg)
+    rng = misc.root_key(cfg)
+    rng_np = np.random.default_rng(0)
+    batch_np = {
+        "frames": jnp.asarray(
+            rng_np.integers(
+                0, 255,
+                (batch, cfg.DATA.NUM_FRAMES,
+                 cfg.DATA.TRAIN_CROP_SIZE, cfg.DATA.TRAIN_CROP_SIZE, 3),
+                dtype=np.uint8,
+            )
+        ),
+        "labels": jnp.asarray(
+            rng_np.integers(0, cfg.MODEL.NUM_CLASSES, (batch,),
+                            dtype=np.int64)
+        ),
+    }
+    mesh = mesh_lib.create_mesh()
+    state, tx = steps.init_state(cfg, model, batch_np, rng)
+    state = mesh_lib.replicate(state, mesh)
+    device_batch = mesh_lib.shard_batch(batch_np, mesh)
+    train_step = jax.jit(steps.make_train_step(cfg, model, tx))
+    for _ in range(2):
+        state, metrics = train_step(state, device_batch, rng, 1e-4)
+        jax.device_get(metrics["loss"])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = train_step(state, device_batch, rng, 1e-4)
+    jax.device_get(metrics["loss"])
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "family": name,
+                "batch": batch,
+                "ms_per_step": round(dt / n * 1e3, 2),
+                "clips_per_sec_per_chip": round(batch * n / dt, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    names = sys.argv[1:] or list(FAMILIES)
+    for name in names:
+        try:
+            time_family(name)
+        except Exception as e:
+            print(json.dumps({"family": name, "error": str(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,11 +39,14 @@ def _resample_x(img, src_x):
     wmat = jnp.maximum(
         0.0, 1.0 - jnp.abs(src_x[:, None, :] - u[None, :, None])
     )  # [H, W_in, W_out]
-    out = jnp.einsum(
-        "thuc,hux->thxc", img, wmat, preferred_element_type=jnp.float32
-    )
     deficit = 1.0 - jnp.sum(wmat, axis=1)  # [H, W_out]
-    return out + deficit[None, :, :, None] * _FILL
+    # Band matrix in the image dtype: at bf16 preprocess this halves the
+    # 45 MB (224^3 f32) weight tensor's traffic; accumulation stays f32.
+    out = jnp.einsum(
+        "thuc,hux->thxc", img, wmat.astype(img.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + deficit[None, :, :, None] * _FILL).astype(img.dtype)
 
 
 def _resample_y(img, src_y):
@@ -56,11 +59,44 @@ def _resample_y(img, src_y):
     wmat = jnp.maximum(
         0.0, 1.0 - jnp.abs(src_y.T[:, None, :] - v[None, :, None])
     )  # wmat[x, v, y] = bilinear weight of input row v for output (y, x)
-    out = jnp.einsum(
-        "tvxc,xvy->tyxc", img, wmat, preferred_element_type=jnp.float32
-    )
     deficit = 1.0 - jnp.sum(wmat, axis=1)  # [W, H_out]
-    return out + deficit.T[None, :, :, None] * _FILL
+    out = jnp.einsum(
+        "tvxc,xvy->tyxc", img, wmat.astype(img.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + deficit.T[None, :, :, None] * _FILL).astype(img.dtype)
+
+
+def _resample_x_const(img, src_x_row):
+    """_resample_x when every row shares the same source positions
+    (translate): one [W_in, W_out] band matrix instead of [H, W_in, W_out]
+    — 224x less weight traffic and a single clean matmul."""
+    t, h, w, c = img.shape
+    u = jnp.arange(w, dtype=jnp.float32)
+    wmat = jnp.maximum(
+        0.0, 1.0 - jnp.abs(src_x_row[None, :] - u[:, None])
+    )  # [W_in, W_out]
+    deficit = 1.0 - jnp.sum(wmat, axis=0)  # [W_out]
+    out = jnp.einsum(
+        "thuc,ux->thxc", img, wmat.astype(img.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + deficit[None, None, :, None] * _FILL).astype(img.dtype)
+
+
+def _resample_y_const(img, src_y_col):
+    """_resample_y when every column shares the same source positions."""
+    t, h, w, c = img.shape
+    v = jnp.arange(h, dtype=jnp.float32)
+    wmat = jnp.maximum(
+        0.0, 1.0 - jnp.abs(src_y_col[None, :] - v[:, None])
+    )  # [H_in, H_out]
+    deficit = 1.0 - jnp.sum(wmat, axis=0)  # [H_out]
+    out = jnp.einsum(
+        "tvxc,vy->tyxc", img, wmat.astype(img.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + deficit[None, :, None, None] * _FILL).astype(img.dtype)
 
 
 def _grid(h, w):
@@ -146,14 +182,14 @@ def _shear_y(img, factor):
 
 def _translate_x(img, pixels):
     t, h, w, c = img.shape
-    X, Y = _grid(h, w)
-    return _resample_x(img, X + pixels)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    return _resample_x_const(img, xs + pixels)
 
 
 def _translate_y(img, pixels):
     t, h, w, c = img.shape
-    X, Y = _grid(h, w)
-    return _resample_y(img, Y + pixels)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    return _resample_y_const(img, ys + pixels)
 
 
 # --------------------------------------------------------------- color ops
@@ -219,17 +255,32 @@ def _equalize(img, _):
     one-hot matrix, processed frame-by-frame (lax.map) to bound memory.
     """
     t, h, w, c = img.shape
-    # Channel-planar [T, C, N]: the 256 compare-reduces then run with the
-    # pixel axis in lanes (channels-last C=3 uses 3/128 lanes — measured
-    # 3x slower for this op on v5e).
+    # Channel-planar [T, C, N]: the compare-reduces run with the pixel
+    # axis in lanes (channels-last C=3 uses 3/128 lanes — measured 3x
+    # slower for this op on v5e).
     flat = jnp.round(
         jnp.moveaxis(img, 3, 1).astype(jnp.float32)
     ).reshape(t, c, h * w)
-    bins = jnp.arange(256, dtype=jnp.float32)
 
-    # hist[t, c, v] = #pixels of value v; one fused compare-reduce.
-    onehot = flat[:, :, None, :] == bins[None, None, :, None]  # [T,C,256,N]
-    hist = jnp.sum(onehot, axis=-1, dtype=jnp.int32)  # [T, C, 256]
+    # Two-level histogram: value = 16*hi + lo with hi, lo in [0, 16).
+    # A flat 256-bin compare costs 256*N VPU compares (plus the same
+    # again for the LUT application); factored, it is 32*N compares and
+    # two [16,16]xN matmuls on the MXU — ~8x less VPU work for the most
+    # expensive RandAugment op. 0/1 operands and counts < 2^24 are exact
+    # in bf16-in/f32-accumulate matmuls.
+    b16 = jnp.arange(16, dtype=jnp.float32)
+    hi = jnp.floor(flat / 16.0)
+    lo = flat - hi * 16.0
+    oh_hi = (hi[:, :, None, :] == b16[None, None, :, None]).astype(
+        jnp.bfloat16
+    )  # [T, C, 16, N]
+    oh_lo = (lo[:, :, None, :] == b16[None, None, :, None]).astype(
+        jnp.bfloat16
+    )
+    hist2d = jnp.einsum(
+        "tchn,tcfn->tchf", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    )  # [T, C, 16, 16] exact counts
+    hist = hist2d.reshape(t, c, 256).astype(jnp.int32)  # [T, C, 256]
     nonzero = hist > 0
     last_idx = 255 - jnp.argmax(nonzero[..., ::-1], axis=-1)  # [T, C]
     last_count = jnp.take_along_axis(hist, last_idx[..., None], axis=-1)[
@@ -248,12 +299,14 @@ def _equalize(img, _):
         jnp.arange(256, dtype=jnp.int32), (t, c, 256)
     )
     lut = jnp.where(step[..., None] == 0, identity, lut)  # [T, C, 256]
-    # LUT application: out[n] = sum_v lut[v] * [x[n] == v], fused the
-    # same way (no gather, no materialized one-hot).
-    out = jnp.sum(
-        lut[..., None].astype(jnp.float32) * onehot.astype(jnp.float32),
-        axis=2,
-    )  # [T, C, N]
+    # LUT application through the same factorization: out[n] =
+    # sum_h oh_hi[h,n] * (lut2d[h,:] @ oh_lo[:,n]). LUT values <= 255 are
+    # exact in bf16 (8 significant bits).
+    lut2d = lut.reshape(t, c, 16, 16).astype(jnp.bfloat16)
+    mixed = jnp.einsum(
+        "tchf,tcfn->tchn", lut2d, oh_lo, preferred_element_type=jnp.float32
+    )  # [T, C, 16, N]
+    out = jnp.sum(oh_hi.astype(jnp.float32) * mixed, axis=2)  # [T, C, N]
     return jnp.moveaxis(out.reshape(t, c, h, w), 1, 3).astype(img.dtype)
 
 

@@ -136,3 +136,23 @@ def test_rand_augment_per_clip_groups():
     ]
     changed = [float(jnp.abs(out[i] - x[i]).mean()) for i in range(4)]
     assert sum(c > 0 for c in changed) >= 3
+
+
+def test_equalize_matches_pil():
+    """_equalize is bit-exact vs PIL ImageOps.equalize (integer LUT
+    algorithm), including the two-level histogram factorization."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image, ImageOps
+
+    import pmv_tpu.data.rand_augment as ra
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (2, 32, 40, 3)).astype(np.float32)
+    out = np.asarray(ra._equalize(jnp.asarray(img), 0.0))
+    ref = np.stack(
+        [
+            np.asarray(ImageOps.equalize(Image.fromarray(f.astype(np.uint8))))
+            for f in img
+        ]
+    ).astype(np.float32)
+    np.testing.assert_array_equal(out, ref)

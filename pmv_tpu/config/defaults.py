@@ -165,6 +165,10 @@ _C.MVIT.USE_PALLAS_POOLS = False
 # Depthwise pool-conv lowering: "xla" grouped conv | "shift" lane-padded
 # shifted-MAC (no grouped-conv anywhere) | "custom_vjp" XLA fwd + hand bwd.
 _C.MVIT.POOL_CONV_IMPL = "xla"
+# Decimated K/V projection+pool for disjoint pool windows (stride >= kernel,
+# the POOL_KV_STRIDE_ADAPTIVE stage-1/2 geometries): project only the token
+# rows the strided conv reads (9/64 at stride 8). Exact; no grouped conv.
+_C.MVIT.SPARSE_KV_POOL = True
 
 # ------------------------------------------------------------------ UNIFORMER
 _C.UNIFORMER = CfgNode()

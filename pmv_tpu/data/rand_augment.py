@@ -24,6 +24,16 @@ _LEVEL_DENOM = 10.0
 _FILL = 128.0
 
 
+def _einsum_f32(spec, a, b):
+    """einsum with f32 accumulation. On TPU the MXU accumulates f32 from
+    bf16 operands for free (preferred_element_type); the CPU backend cannot
+    execute a bf16 x bf16 -> f32 dot at the tests' low optimization level,
+    so inputs are upcast there instead."""
+    if jax.default_backend() == "tpu":
+        return jnp.einsum(spec, a, b, preferred_element_type=jnp.float32)
+    return jnp.einsum(spec, a.astype(jnp.float32), b.astype(jnp.float32))
+
+
 # --------------------------------------------------------------- affine warp
 def _resample_x(img, src_x):
     """1-D bilinear resample along W: out[t,h,x,c] = img[t,h,src_x[h,x],c].
@@ -42,10 +52,7 @@ def _resample_x(img, src_x):
     deficit = 1.0 - jnp.sum(wmat, axis=1)  # [H, W_out]
     # Band matrix in the image dtype: at bf16 preprocess this halves the
     # 45 MB (224^3 f32) weight tensor's traffic; accumulation stays f32.
-    out = jnp.einsum(
-        "thuc,hux->thxc", img, wmat.astype(img.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    out = _einsum_f32("thuc,hux->thxc", img, wmat.astype(img.dtype))
     return (out + deficit[None, :, :, None] * _FILL).astype(img.dtype)
 
 
@@ -60,10 +67,7 @@ def _resample_y(img, src_y):
         0.0, 1.0 - jnp.abs(src_y.T[:, None, :] - v[None, :, None])
     )  # wmat[x, v, y] = bilinear weight of input row v for output (y, x)
     deficit = 1.0 - jnp.sum(wmat, axis=1)  # [W, H_out]
-    out = jnp.einsum(
-        "tvxc,xvy->tyxc", img, wmat.astype(img.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    out = _einsum_f32("tvxc,xvy->tyxc", img, wmat.astype(img.dtype))
     return (out + deficit.T[None, :, :, None] * _FILL).astype(img.dtype)
 
 
@@ -77,10 +81,7 @@ def _resample_x_const(img, src_x_row):
         0.0, 1.0 - jnp.abs(src_x_row[None, :] - u[:, None])
     )  # [W_in, W_out]
     deficit = 1.0 - jnp.sum(wmat, axis=0)  # [W_out]
-    out = jnp.einsum(
-        "thuc,ux->thxc", img, wmat.astype(img.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    out = _einsum_f32("thuc,ux->thxc", img, wmat.astype(img.dtype))
     return (out + deficit[None, None, :, None] * _FILL).astype(img.dtype)
 
 
@@ -92,10 +93,7 @@ def _resample_y_const(img, src_y_col):
         0.0, 1.0 - jnp.abs(src_y_col[None, :] - v[:, None])
     )  # [H_in, H_out]
     deficit = 1.0 - jnp.sum(wmat, axis=0)  # [H_out]
-    out = jnp.einsum(
-        "tvxc,vy->tyxc", img, wmat.astype(img.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    out = _einsum_f32("tvxc,vy->tyxc", img, wmat.astype(img.dtype))
     return (out + deficit[None, :, None, None] * _FILL).astype(img.dtype)
 
 
@@ -277,9 +275,7 @@ def _equalize(img, _):
     oh_lo = (lo[:, :, None, :] == b16[None, None, :, None]).astype(
         jnp.bfloat16
     )
-    hist2d = jnp.einsum(
-        "tchn,tcfn->tchf", oh_hi, oh_lo, preferred_element_type=jnp.float32
-    )  # [T, C, 16, 16] exact counts
+    hist2d = _einsum_f32("tchn,tcfn->tchf", oh_hi, oh_lo)  # [T, C, 16, 16] exact counts
     hist = hist2d.reshape(t, c, 256).astype(jnp.int32)  # [T, C, 256]
     nonzero = hist > 0
     last_idx = 255 - jnp.argmax(nonzero[..., ::-1], axis=-1)  # [T, C]
@@ -303,9 +299,7 @@ def _equalize(img, _):
     # sum_h oh_hi[h,n] * (lut2d[h,:] @ oh_lo[:,n]). LUT values <= 255 are
     # exact in bf16 (8 significant bits).
     lut2d = lut.reshape(t, c, 16, 16).astype(jnp.bfloat16)
-    mixed = jnp.einsum(
-        "tchf,tcfn->tchn", lut2d, oh_lo, preferred_element_type=jnp.float32
-    )  # [T, C, 16, N]
+    mixed = _einsum_f32("tchf,tcfn->tchn", lut2d, oh_lo)  # [T, C, 16, N]
     out = jnp.sum(oh_hi.astype(jnp.float32) * mixed, axis=2)  # [T, C, N]
     return jnp.moveaxis(out.reshape(t, c, h, w), 1, 3).astype(img.dtype)
 

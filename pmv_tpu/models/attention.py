@@ -63,7 +63,12 @@ class FusedQKVSplitDots(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, kv=None):
+        """x: [B, N, C] tokens for the Q slice. When ``kv`` is given (the
+        sparse-KV-pool path), the K/V slices project ``kv`` — a decimated
+        token set [B, M, C] — instead of x; weights are unchanged, so this
+        is exactly the reference projection restricted to the tokens the
+        strided pooling conv actually reads."""
         B, N, in_dim = x.shape
         kernel = self.param(
             "kernel", trunc_normal_init(0.02), (in_dim, 3 * self.dim_out)
@@ -73,20 +78,20 @@ class FusedQKVSplitDots(nn.Module):
             if self.use_bias
             else None
         )
-        x, kernel, bias = nn.dtypes.promote_dtype(
-            x, kernel, bias, dtype=self.dtype
+        x, kv, kernel, bias = nn.dtypes.promote_dtype(
+            x, kv, kernel, bias, dtype=self.dtype
         )
         outs = []
-        for i in range(3):
+        for i, src in enumerate((x, kv, kv) if kv is not None else (x, x, x)):
             w = jax.lax.slice_in_dim(
                 kernel, i * self.dim_out, (i + 1) * self.dim_out, axis=1
             )
-            y = jnp.dot(x, w)
+            y = jnp.dot(src, w)
             if bias is not None:
                 y = y + jax.lax.slice_in_dim(
                     bias, i * self.dim_out, (i + 1) * self.dim_out, axis=0
                 )
-            outs.append(y.reshape(B, N, self.num_heads, -1))
+            outs.append(y.reshape(B, src.shape[1], self.num_heads, -1))
         return outs
 
 
@@ -198,6 +203,51 @@ def rel_pos_temporal_bias(q, q_shape, k_shape, rel_pos_t, has_cls_embed):
     return bias
 
 
+def decimate_pool_windows(x, thw, kernel, stride):
+    """Select the token rows a strided pooling conv actually reads.
+
+    For spatially disjoint pool windows (stride >= kernel on H/W — the MViT
+    KV pools at stride (1,8,8)/(1,4,4), `MVITv2_S_16x4.yaml`
+    POOL_KV_STRIDE_ADAPTIVE), a stride-s SAME conv with kernel k only ever
+    touches rows {s*p - k//2 .. s*p - k//2 + k-1}: 3 of every 8 at stride 8.
+    Everything is pad + reshape + static slice (rows within a window group
+    are unique, so the gradient is a plain pad — no scatter), which lets the
+    K/V *projection* run on the decimated token set too: at stride (1,8,8)
+    that is 14% of the grid's matmul FLOPs and HBM bytes.
+
+    x: [B, N, C] tokens (no cls), thw = (T, H, W).
+    Returns ([B, Tp, Ph, kh, Pw, kw, C], (Tp, Ph, Pw)) where Tp = T + 2*(kt//2)
+    (temporal axis keeps SAME padding; the pool conv then runs VALID over t).
+    """
+    B, N, C = x.shape
+    T, H, W = thw
+    kt, kh, kw = kernel
+    st, sh, sw = stride
+    assert st == 1 and sh >= kh and sw >= kw, (kernel, stride)
+    pt, ph, pw = kt // 2, kh // 2, kw // 2
+    Ph = (H + 2 * ph - kh) // sh + 1
+    Pw = (W + 2 * pw - kw) // sw + 1
+    g = x.reshape(B, T, H, W, C)
+    g = jnp.pad(
+        g,
+        (
+            (0, 0),
+            (pt, pt),
+            (ph, max(0, Ph * sh - H - ph)),
+            (pw, max(0, Pw * sw - W - pw)),
+            (0, 0),
+        ),
+    )
+    Tp = T + 2 * pt
+    # Window p covers padded rows [s*p, s*p + k): group rows into [P, s]
+    # blocks and keep the first k of each.
+    g = g[:, :, : Ph * sh].reshape(B, Tp, Ph, sh, -1, C)[:, :, :, :kh]
+    g = g[:, :, :, :, : Pw * sw].reshape(B, Tp, Ph, kh, Pw, sw, C)[
+        :, :, :, :, :, :kw
+    ]
+    return g, (Tp, Ph, Pw)
+
+
 def _pool_conv(x, w, stride, padding):
     """Depthwise NDHWC conv (w [kt,kh,kw,1,C], groups = C).
 
@@ -238,13 +288,75 @@ class AttentionPool(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, thw_shape) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
+    def __call__(
+        self, x, thw_shape, sparse_grid=None
+    ) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
         """x: [B, N, heads, C] tokens-major (transpose-free layout: the
         fold to the [B, T, H, W, heads*C] conv grid and back is a pure
-        reshape, so no physical transpose is ever materialized)."""
+        reshape, so no physical transpose is ever materialized).
+
+        sparse_grid: (Tp, Ph, Pw) when x holds *decimated* window tokens
+        (cls first, then decimate_pool_windows order) — conv mode only; the
+        pool is then a 9-tap einsum + valid temporal sum over the decimated
+        grid instead of a full-grid grouped conv. Exact same math."""
         if self.is_identity():
             return x, tuple(thw_shape)
         B, N, H, C = x.shape
+        if sparse_grid is not None:
+            assert self.mode == "conv"
+            kt, kh, kw = self.kernel
+            st, sh, sw = self.stride
+            Tp, Ph, Pw = sparse_grid
+            T_out = Tp - 2 * (kt // 2)
+            T_in, H_in, W_in = thw_shape
+            if self.has_cls_embed:
+                cls_tok, x = x[:, :1], x[:, 1:]
+            z = x.reshape(B, Tp, Ph, kh, Pw, kw, H * C)
+            # The dense conv zero-pads the *projected* grid; the decimated
+            # tokens were padded before projection, so a projection bias
+            # would leak into the padding rows. Zero them here (static mask).
+            valid_t = (np.arange(Tp) - kt // 2) < T_in
+            valid_t &= (np.arange(Tp) - kt // 2) >= 0
+            h_idx = sh * np.arange(Ph)[:, None] + np.arange(kh)[None, :] - kh // 2
+            w_idx = sw * np.arange(Pw)[:, None] + np.arange(kw)[None, :] - kw // 2
+            mask = (
+                valid_t[:, None, None, None, None]
+                & ((h_idx >= 0) & (h_idx < H_in))[None, :, :, None, None]
+                & ((w_idx >= 0) & (w_idx < W_in))[None, None, None, :, :]
+            )
+            if not mask.all():
+                z = jnp.where(mask[None, ..., None], z, 0)
+            kernel = self.param(
+                "pool_kernel",
+                trunc_normal_init(0.02),
+                tuple(self.kernel) + (1, C),
+            )
+            tiled = jnp.tile(kernel.reshape(kt, kh, kw, C), (1, 1, 1, H)).astype(
+                self.dtype
+            )
+            # f32 accumulation on TPU (free: MXU/VPU accumulators); the CPU
+            # backend cannot execute mixed bf16->f32 dots at the tests' low
+            # optimization level, so it keeps the compute dtype there.
+            pref = (
+                jnp.float32 if jax.default_backend() == "tpu" else None
+            )
+            acc = None
+            for dt in range(kt):
+                term = jnp.einsum(
+                    "btpiqjc,ijc->btpqc",
+                    z[:, dt : dt + T_out],
+                    tiled[dt],
+                    preferred_element_type=pref,
+                )
+                acc = term if acc is None else acc + term
+            x = acc.astype(self.dtype).reshape(B, -1, H, C)
+            if self.has_cls_embed:
+                x = jnp.concatenate([cls_tok.astype(self.dtype), x], axis=1)
+            if not _DIAG_SKIP_POOL_LN:
+                x = nn.LayerNorm(
+                    epsilon=self.norm_eps, dtype=self.dtype, name="norm"
+                )(x)
+            return x, (T_out, Ph, Pw)
         T, Hh, Ww = thw_shape
         if self.has_cls_embed:
             cls_tok, x = x[:, :1], x[:, 1:]
@@ -389,6 +501,7 @@ class MultiScaleAttention(nn.Module):
     use_pallas: bool = False  # fused attention kernel on TPU backends
     use_pallas_pools: bool = False  # hand-written depthwise pool kernel
     pool_impl: str = "xla"  # depthwise pool implementation (AttentionPool)
+    sparse_kv: bool = True  # decimated K/V projection+pool when stride>=kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -403,9 +516,28 @@ class MultiScaleAttention(nn.Module):
                 kernel_init=trunc_normal_init(0.02), name=name,
             )
 
+        # Disjoint-window KV pooling (stride >= kernel spatially): decimate
+        # the token set BEFORE the K/V projection so both the projection
+        # matmuls and the pooling conv only touch the 9/64 (stride 8) or
+        # 9/16 (stride 4) of rows the strided conv reads. Exact math —
+        # projection is per-token — and no grouped-conv lowering at all.
+        use_sparse_kv = (
+            self.sparse_kv
+            and not self.pool_first
+            and not self.separate_qkv
+            and self.mode == "conv"
+            and len(self.kernel_kv) > 0
+            and len(self.stride_kv) > 0
+            and self.stride_kv[0] == 1
+            and self.stride_kv[1] >= self.kernel_kv[1]
+            and self.stride_kv[2] >= self.kernel_kv[2]
+            and int(np.prod(self.stride_kv)) > 1
+        )
+
         # Tokens-major [B, N, heads, C] layout end-to-end: head split,
         # pool grids, and the final merge are all pure reshapes; the only
         # data movement XLA must schedule is inside the attention einsums.
+        kv_grid = None
         if self.pool_first:
             fold = self.num_heads
             q = k = v = x.reshape(B, N, fold, -1)
@@ -413,6 +545,18 @@ class MultiScaleAttention(nn.Module):
             q = dense(self.dim_out, "q")(x).reshape(B, N, self.num_heads, -1)
             k = dense(self.dim_out, "k")(x).reshape(B, N, self.num_heads, -1)
             v = dense(self.dim_out, "v")(x).reshape(B, N, self.num_heads, -1)
+        elif use_sparse_kv:
+            toks = x[:, 1:] if self.has_cls_embed else x
+            g6, kv_grid = decimate_pool_windows(
+                toks, thw_shape, self.kernel_kv, self.stride_kv
+            )
+            kv_tokens = g6.reshape(B, -1, x.shape[-1])
+            if self.has_cls_embed:
+                kv_tokens = jnp.concatenate([x[:, :1], kv_tokens], axis=1)
+            q, k, v = FusedQKVSplitDots(
+                dim_out=self.dim_out, num_heads=self.num_heads,
+                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
+            )(x, kv=kv_tokens)
         else:
             q, k, v = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
@@ -434,14 +578,14 @@ class MultiScaleAttention(nn.Module):
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             dtype=self.dtype, name="pool_k",
-        )(k, thw_shape)
+        )(k, thw_shape, sparse_grid=kv_grid)
         v, v_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
             has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             dtype=self.dtype, name="pool_v",
-        )(v, thw_shape)
+        )(v, thw_shape, sparse_grid=kv_grid)
 
         if self.pool_first:
             def refold(t, t_shape, name):
@@ -649,6 +793,7 @@ class MultiScaleBlock(nn.Module):
     use_pallas: bool = False
     use_pallas_pools: bool = False
     pool_impl: str = "xla"
+    sparse_kv: bool = True
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -678,6 +823,7 @@ class MultiScaleBlock(nn.Module):
             use_pallas=self.use_pallas,
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
+            sparse_kv=self.sparse_kv,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

@@ -308,6 +308,7 @@ class MViT(nn.Module):
                 use_pallas=cfg.MVIT.USE_PALLAS_ATTENTION,
                 use_pallas_pools=cfg.MVIT.USE_PALLAS_POOLS,
                 pool_impl=cfg.MVIT.POOL_CONV_IMPL,
+                sparse_kv=cfg.MVIT.SPARSE_KV_POOL,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

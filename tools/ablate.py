@@ -78,6 +78,8 @@ VARIANTS = {
     "eval_fwd_xla": lambda c: _set(
         c, [("MVIT.USE_PALLAS_ATTENTION", False)]
     ),  # handled specially: eval step
+    "no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
+    "eval_no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
     "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
     "auto_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "auto")]),

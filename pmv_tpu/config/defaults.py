@@ -169,6 +169,9 @@ _C.MVIT.POOL_CONV_IMPL = "xla"
 # the POOL_KV_STRIDE_ADAPTIVE stage-1/2 geometries): project only the token
 # rows the strided conv reads (9/64 at stride 8). Exact; no grouped conv.
 _C.MVIT.SPARSE_KV_POOL = True
+# Attention einsum lowering: "batched" one bhqk einsum over (b, h) |
+# "per_head" head-sliced bqk einsums (no h<->q relayout of q/probs).
+_C.MVIT.ATTN_IMPL = "batched"
 
 # ------------------------------------------------------------------ UNIFORMER
 _C.UNIFORMER = CfgNode()
@@ -594,6 +597,12 @@ _C.TPU.PROFILE_DIR = ""
 # activation stash (attention matrices at N~25k) is what blows the HBM
 # budget at larger batch sizes.
 _C.TPU.REMAT_MIN_SEQ = 0
+# Fused MLP half-block Pallas kernel (LN2+fc1+gelu+fc2+droppath+residual in
+# one VMEM pass, recompute backward) for eligible MViT blocks.
+_C.TPU.FUSED_MLP = False
+# Fused attention half-block Pallas kernel (scores+softmax+@v+residual-
+# pooling+proj in one VMEM pass, flash recompute backward).
+_C.TPU.FUSED_ATTN = False
 # Dtype for the fused on-device augmentation chain (RandAugment, erasing,
 # color jitter, normalize). The model casts to COMPUTE_DTYPE right after
 # preprocessing anyway, so "bfloat16" here only adds sub-quantization noise

@@ -42,6 +42,12 @@ FUSED_ATTENTION_TRAIN_MIN_K = 10 ** 9
 FUSED_ATTENTION_TRAIN_H1 = True   # train: use kernel for 1-head blocks
 FUSED_ATTENTION_EVAL = False      # eval: XLA path wins end-to-end
 _DIAG_SKIP_POOL_LN = False  # diagnostic only
+# Diagnostics (wrong math, timing only — tools/ablate.py): price the
+# attention core (scores+softmax+@v+rel-pos) / the MLP branch inside the
+# full step by replacing them with shape-preserving identities.
+_DIAG_ATTENTION_IDENTITY = False
+_DIAG_SKIP_MLP = False
+_DIAG_SKIP_ATTN_BRANCH = False  # whole MultiScaleAttention module -> zeros
 
 
 class FusedQKVSplitDots(nn.Module):
@@ -82,16 +88,24 @@ class FusedQKVSplitDots(nn.Module):
             x, kv, kernel, bias, dtype=self.dtype
         )
         outs = []
+        slices = []
         for i, src in enumerate((x, kv, kv) if kv is not None else (x, x, x)):
             w = jax.lax.slice_in_dim(
                 kernel, i * self.dim_out, (i + 1) * self.dim_out, axis=1
             )
             y = jnp.dot(src, w)
+            b_i = None
             if bias is not None:
-                y = y + jax.lax.slice_in_dim(
+                b_i = jax.lax.slice_in_dim(
                     bias, i * self.dim_out, (i + 1) * self.dim_out, axis=0
                 )
+                y = y + b_i
+            slices.append(b_i)
             outs.append(y.reshape(B, src.shape[1], self.num_heads, -1))
+        if kv is not None:
+            # Sparse-KV callers need the K/V bias slices to correct the
+            # padding-tap bias leak after pooling (AttentionPool).
+            return outs[0], outs[1], outs[2], (slices[1], slices[2])
         return outs
 
 
@@ -289,7 +303,7 @@ class AttentionPool(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, thw_shape, sparse_grid=None
+        self, x, thw_shape, sparse_grid=None, sparse_bias=None
     ) -> Tuple[jnp.ndarray, Tuple[int, int, int]]:
         """x: [B, N, heads, C] tokens-major (transpose-free layout: the
         fold to the [B, T, H, W, heads*C] conv grid and back is a pure
@@ -312,20 +326,6 @@ class AttentionPool(nn.Module):
             if self.has_cls_embed:
                 cls_tok, x = x[:, :1], x[:, 1:]
             z = x.reshape(B, Tp, Ph, kh, Pw, kw, H * C)
-            # The dense conv zero-pads the *projected* grid; the decimated
-            # tokens were padded before projection, so a projection bias
-            # would leak into the padding rows. Zero them here (static mask).
-            valid_t = (np.arange(Tp) - kt // 2) < T_in
-            valid_t &= (np.arange(Tp) - kt // 2) >= 0
-            h_idx = sh * np.arange(Ph)[:, None] + np.arange(kh)[None, :] - kh // 2
-            w_idx = sw * np.arange(Pw)[:, None] + np.arange(kw)[None, :] - kw // 2
-            mask = (
-                valid_t[:, None, None, None, None]
-                & ((h_idx >= 0) & (h_idx < H_in))[None, :, :, None, None]
-                & ((w_idx >= 0) & (w_idx < W_in))[None, None, None, :, :]
-            )
-            if not mask.all():
-                z = jnp.where(mask[None, ..., None], z, 0)
             kernel = self.param(
                 "pool_kernel",
                 trunc_normal_init(0.02),
@@ -334,21 +334,54 @@ class AttentionPool(nn.Module):
             tiled = jnp.tile(kernel.reshape(kt, kh, kw, C), (1, 1, 1, H)).astype(
                 self.dtype
             )
-            # f32 accumulation on TPU (free: MXU/VPU accumulators); the CPU
-            # backend cannot execute mixed bf16->f32 dots at the tests' low
-            # optimization level, so it keeps the compute dtype there.
-            pref = (
-                jnp.float32 if jax.default_backend() == "tpu" else None
-            )
             acc = None
             for dt in range(kt):
                 term = jnp.einsum(
                     "btpiqjc,ijc->btpqc",
                     z[:, dt : dt + T_out],
                     tiled[dt],
-                    preferred_element_type=pref,
                 )
                 acc = term if acc is None else acc + term
+            proj_bias = sparse_bias
+            if proj_bias is not None:
+                # The dense conv zero-pads the *projected* grid; the
+                # decimated tokens were padded before projection, so the
+                # projection bias leaks into padding taps. Rather than a
+                # full-tensor select on z (measured 108 MB/pass at b1),
+                # subtract bias * (sum of kernel taps at invalid positions)
+                # — a [T, Ph, Pw, HC] correction computed from tiny arrays.
+                valid_t = ((np.arange(Tp) - kt // 2) < T_in) & (
+                    (np.arange(Tp) - kt // 2) >= 0
+                )
+                h_idx = (
+                    sh * np.arange(Ph)[:, None]
+                    + np.arange(kh)[None, :]
+                    - kh // 2
+                )
+                w_idx = (
+                    sw * np.arange(Pw)[:, None]
+                    + np.arange(kw)[None, :]
+                    - kw // 2
+                )
+                invalid = ~(
+                    valid_t[:, None, None, None, None]
+                    & ((h_idx >= 0) & (h_idx < H_in))[None, :, :, None, None]
+                    & ((w_idx >= 0) & (w_idx < W_in))[None, None, None, :, :]
+                )  # [Tp, Ph, kh, Pw, kw]
+                inv_taps = np.stack(
+                    [
+                        invalid[dt : dt + T_out].astype(np.float32)
+                        for dt in range(kt)
+                    ],
+                    axis=1,
+                )  # [T_out, kt, Ph, kh, Pw, kw]
+                if inv_taps.any():
+                    kinv = jnp.einsum(
+                        "tdpiqj,dijc->tpqc",
+                        jnp.asarray(inv_taps, self.dtype),
+                        tiled,
+                    )  # [T_out, Ph, Pw, HC]
+                    acc = acc - proj_bias.astype(self.dtype) * kinv[None]
             x = acc.astype(self.dtype).reshape(B, -1, H, C)
             if self.has_cls_embed:
                 x = jnp.concatenate([cls_tok.astype(self.dtype), x], axis=1)
@@ -502,6 +535,8 @@ class MultiScaleAttention(nn.Module):
     use_pallas_pools: bool = False  # hand-written depthwise pool kernel
     pool_impl: str = "xla"  # depthwise pool implementation (AttentionPool)
     sparse_kv: bool = True  # decimated K/V projection+pool when stride>=kernel
+    attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
+    fused_attn: bool = False  # fused attention+proj half-block kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -538,6 +573,7 @@ class MultiScaleAttention(nn.Module):
         # pool grids, and the final merge are all pure reshapes; the only
         # data movement XLA must schedule is inside the attention einsums.
         kv_grid = None
+        bias_k = bias_v = None
         if self.pool_first:
             fold = self.num_heads
             q = k = v = x.reshape(B, N, fold, -1)
@@ -553,7 +589,7 @@ class MultiScaleAttention(nn.Module):
             kv_tokens = g6.reshape(B, -1, x.shape[-1])
             if self.has_cls_embed:
                 kv_tokens = jnp.concatenate([x[:, :1], kv_tokens], axis=1)
-            q, k, v = FusedQKVSplitDots(
+            q, k, v, (bias_k, bias_v) = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
                 use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
             )(x, kv=kv_tokens)
@@ -578,14 +614,14 @@ class MultiScaleAttention(nn.Module):
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             dtype=self.dtype, name="pool_k",
-        )(k, thw_shape, sparse_grid=kv_grid)
+        )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
         v, v_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
             has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             dtype=self.dtype, name="pool_v",
-        )(v, thw_shape, sparse_grid=kv_grid)
+        )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
 
         if self.pool_first:
             def refold(t, t_shape, name):
@@ -635,6 +671,52 @@ class MultiScaleAttention(nn.Module):
                 "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim)
             )
 
+        # Fused attention half-block (ops/attn_block_pallas): scores+softmax
+        # +@v + residual-pooling + output projection in one kernel — probs
+        # and the pre-projection context never touch HBM fwd or bwd.
+        fused_block = (
+            self.fused_attn
+            and self.rel_pos_spatial
+            and self.drop_rate == 0.0
+            and not self.pool_first
+        )
+        if fused_block and not deterministic:
+            from pmv_tpu.ops.attn_block_pallas import bwd_fits_vmem as _bfv
+
+            fused_block = _bfv(
+                k.shape[1], self.num_heads, q.shape[-1], self.dim_out
+            )
+        if fused_block:
+            from pmv_tpu.models.common import DenseParamsHolder
+            from pmv_tpu.ops.attn_block_pallas import fused_attn_proj
+
+            k_t, k_h, k_w = k_shape
+            rh, rw = rel_q_tables_spatial(
+                q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
+            )
+            rt = (
+                rel_q_table_temporal(
+                    q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
+                )
+                if self.rel_pos_temporal
+                else None
+            )
+            if self.has_cls_embed:
+                pad_row = ((0, 0), (1, 0), (0, 0), (0, 0))
+                rh = jnp.pad(rh, pad_row)
+                rw = jnp.pad(rw, pad_row)
+                rt = jnp.pad(rt, pad_row) if rt is not None else None
+            wp, bp = DenseParamsHolder(
+                self.dim_out, self.dim_out, name="proj"
+            )()
+            x = fused_attn_proj(
+                q, k, v, rh, rw, rt,
+                wp, bp,
+                scale, k_t, k_h, k_w, self.has_cls_embed,
+                self.residual_pooling,
+            )
+            return x, q_shape
+
         fused = (
             self.use_pallas
             and self.rel_pos_spatial
@@ -663,7 +745,9 @@ class MultiScaleAttention(nn.Module):
             from pmv_tpu.ops.attention_pallas import bwd_fits_vmem
 
             fused = bwd_fits_vmem(k.shape[1], self.num_heads, q.shape[-1])
-        if fused:
+        if _DIAG_ATTENTION_IDENTITY:
+            x = q  # [B, Nq', H, D] — same shape as the attention output
+        elif fused:
             # Pallas fused attention: bias expanded in VMEM, the [Nq, Nk]
             # attention matrix never touches HBM (pmv_tpu/ops). Operates on
             # the tokens-major [B, N, H, D] layout in place — no transpose
@@ -735,9 +819,32 @@ class MultiScaleAttention(nn.Module):
                 (B, nk, self.num_heads, E.shape[0]),
             )
             k_ext = jnp.concatenate([k, e_bh], axis=-1)
-            attn = jnp.einsum("bqhc,bkhc->bhqk", q_ext, k_ext)
-            attn = jax.nn.softmax(attn, axis=-1)
-            x = jnp.einsum("bhqk,bkhc->bqhc", attn, v)
+            if self.attn_impl == "per_head" and self.num_heads > 1:
+                # Head-sliced einsums: every dot has batch dim b only, so
+                # q/k/v and the probs keep their natural layouts (the
+                # batched bqhc,bkhc->bhqk form makes XLA relayout the big
+                # q-side tensor and the probs, h<->q transposes).
+                outs = []
+                for hd in range(self.num_heads):
+                    s = jnp.einsum(
+                        "bqc,bkc->bqk", q_ext[:, :, hd], k_ext[:, :, hd]
+                    )
+                    p = jax.nn.softmax(s, axis=-1)
+                    outs.append(jnp.einsum("bqk,bkc->bqc", p, v[:, :, hd]))
+                x = jnp.stack(outs, axis=2)
+            else:
+                attn = jnp.einsum("bqhc,bkhc->bhqk", q_ext, k_ext)
+                attn = jax.nn.softmax(attn, axis=-1)
+                x = jnp.einsum("bhqk,bkhc->bqhc", attn, v)
+        elif self.attn_impl == "per_head" and self.num_heads > 1 and not self.rel_pos_temporal:
+            outs = []
+            for hd in range(self.num_heads):
+                s = jnp.einsum(
+                    "bqc,bkc->bqk", q[:, :, hd] * scale, k[:, :, hd]
+                )
+                p = jax.nn.softmax(s, axis=-1)
+                outs.append(jnp.einsum("bqk,bkc->bqc", p, v[:, :, hd]))
+            x = jnp.stack(outs, axis=2)
         else:
             attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
             if self.rel_pos_temporal:
@@ -794,6 +901,9 @@ class MultiScaleBlock(nn.Module):
     use_pallas_pools: bool = False
     pool_impl: str = "xla"
     sparse_kv: bool = True
+    fused_mlp: bool = False
+    fused_attn: bool = False
+    attn_impl: str = "batched"
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -801,7 +911,23 @@ class MultiScaleBlock(nn.Module):
     def __call__(self, x, thw_shape, deterministic=True):
         att_dim = self.dim_out if self.dim_mul_in_att else self.dim
         x_norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
-        x_block, thw_shape_new = MultiScaleAttention(
+        if _DIAG_SKIP_ATTN_BRANCH:
+            # Price the whole attention module (qkv+pools+attn+proj) inside
+            # the full step: zero branch of the correct pooled shape.
+            B, N, _ = x.shape
+            T, Hh, Ww = thw_shape
+            if len(self.stride_q) > 0 and int(np.prod(self.stride_q)) > 1:
+                thw_shape_new = tuple(
+                    int(-(-d // s)) for d, s in zip(thw_shape, self.stride_q)
+                )
+            else:
+                thw_shape_new = tuple(thw_shape)
+            n_new = int(np.prod(thw_shape_new)) + (
+                1 if self.has_cls_embed else 0
+            )
+            x_block = jnp.zeros((B, n_new, att_dim), self.dtype)
+        else:
+            x_block, thw_shape_new = MultiScaleAttention(
             dim_out=att_dim,
             num_heads=self.num_heads,
             input_size=self.input_size,
@@ -824,6 +950,8 @@ class MultiScaleBlock(nn.Module):
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             sparse_kv=self.sparse_kv,
+            attn_impl=self.attn_impl,
+            fused_attn=self.fused_attn,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)
@@ -869,8 +997,47 @@ class MultiScaleBlock(nn.Module):
             branch, deterministic=deterministic
         )
 
-        x_norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        if _DIAG_SKIP_MLP:
+            return x, thw_shape_new
+
+        # Fused MLP half-block (ops/mlp_block_pallas): one pass over x, the
+        # [N, 4C] hidden never touches HBM, flash-style recompute backward.
+        # Eligibility mirrors exactly what the kernel implements.
         mlp_hidden = int(att_dim * self.mlp_ratio)
+        if (
+            self.fused_mlp
+            and self.drop_rate == 0.0
+            and self.layer_scale_init_value == 0
+            and (self.dim == self.dim_out or self.dim_mul_in_att)
+        ):
+            from pmv_tpu.ops.mlp_block_pallas import (
+                fits_vmem,
+                fused_mlp_residual,
+            )
+
+            if fits_vmem(att_dim, mlp_hidden):
+                from pmv_tpu.models.common import (
+                    DropPathMask,
+                    LNParamsHolder,
+                    MlpParamsHolder,
+                )
+
+                ln_s, ln_b = LNParamsHolder(att_dim, name="norm2")()
+                w1, b1, w2, b2 = MlpParamsHolder(
+                    att_dim, mlp_hidden, self.dim_out, name="mlp"
+                )()
+                dp = DropPathMask(self.drop_path, name="drop_path2")(
+                    x.shape[0], deterministic
+                )
+                x = fused_mlp_residual(
+                    x.astype(self.dtype),
+                    ln_s, ln_b,
+                    w1, b1, w2, b2,
+                    dp, self.norm_eps,
+                )
+                return x, thw_shape_new
+
+        x_norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
         x_mlp = Mlp(
             hidden_features=mlp_hidden,
             out_features=self.dim_out,

@@ -79,6 +79,27 @@ VARIANTS = {
         c, [("MVIT.USE_PALLAS_ATTENTION", False)]
     ),  # handled specially: eval step
     "no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
+    # DIAGNOSTIC (wrong math, timing only): attention core -> identity /
+    # MLP branch removed — prices each inside the full step.
+    "diag_attn_ident": lambda c: c,
+    "diag_skip_mlp": lambda c: c,
+    "diag_skip_attn_branch": lambda c: c,
+    "fused_mlp": lambda c: _set(c, [("TPU.FUSED_MLP", True)]),
+    "eval_fused_mlp": lambda c: _set(c, [("TPU.FUSED_MLP", True)]),
+    "fused_attn": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
+    "eval_fused_attn": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
+    "fused_both": lambda c: _set(
+        c, [("TPU.FUSED_ATTN", True), ("TPU.FUSED_MLP", True)]
+    ),
+    "eval_fused_both": lambda c: _set(
+        c, [("TPU.FUSED_ATTN", True), ("TPU.FUSED_MLP", True)]
+    ),
+    "per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
+    "eval_per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
+    "per_head_fused_mlp": lambda c: _set(
+        c, [("MVIT.ATTN_IMPL", "per_head"), ("TPU.FUSED_MLP", True)]
+    ),
+    "eval_diag_attn_ident": lambda c: c,
     "eval_no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
     "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
@@ -127,6 +148,9 @@ def time_variant(name):
             1024 if name == "attn_pl_b1" else 10 ** 9
         )
         attn_mod.FUSED_ATTENTION_EVAL = name == "attn_pl_evalonly"
+    attn_mod._DIAG_ATTENTION_IDENTITY = name.endswith("diag_attn_ident")
+    attn_mod._DIAG_SKIP_MLP = name == "diag_skip_mlp"
+    attn_mod._DIAG_SKIP_ATTN_BRANCH = name == "diag_skip_attn_branch"
 
     cfg = VARIANTS[name](base_cfg())
     batch_size = {

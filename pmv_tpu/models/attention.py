@@ -680,12 +680,6 @@ class MultiScaleAttention(nn.Module):
             and self.drop_rate == 0.0
             and not self.pool_first
         )
-        if fused_block and not deterministic:
-            from pmv_tpu.ops.attn_block_pallas import bwd_fits_vmem as _bfv
-
-            fused_block = _bfv(
-                k.shape[1], self.num_heads, q.shape[-1], self.dim_out
-            )
         if fused_block:
             from pmv_tpu.models.common import DenseParamsHolder
             from pmv_tpu.ops.attn_block_pallas import fused_attn_proj

@@ -375,12 +375,54 @@ def _vjp_fwd(q, k, v, rh, rw, rt, wp, bp, scale, kt, kh, kw, has_cls,
     return y, (q, k, v, rh, rw, rt, wp, bp)
 
 
+def _reference_block(q, k, v, rh, rw, rt, wp, bp, scale, kt, kh, kw,
+                     has_cls, residual):
+    """XLA reference of the fused op (tests + fallback backward)."""
+    from pmv_tpu.ops.attention_pallas import _reference_attention
+
+    b, nq, h, d = q.shape
+    x = _reference_attention(
+        q, k, v, rh, rw, rt, scale, kt, kh, kw, has_cls
+    )
+    if residual:
+        if has_cls:
+            x = x.at[:, 1:].add(q[:, 1:])
+        else:
+            x = x + q
+    x = x.reshape(b, nq, h * d)
+    return (
+        jnp.dot(x, wp.astype(x.dtype)) + bp.astype(x.dtype)
+    )
+
+
 def _vjp_bwd(scale, kt, kh, kw, has_cls, residual, res, dy):
     q, k, v, rh, rw, rt, wp, bp = res
-    return _bwd_impl(
-        q, k, v, rh, rw, rt, wp, bp, dy, scale, kt, kh, kw, has_cls,
-        residual,
-    )
+    if bwd_fits_vmem(k.shape[1], q.shape[2], q.shape[3], wp.shape[-1]):
+        return _bwd_impl(
+            q, k, v, rh, rw, rt, wp, bp, dy, scale, kt, kh, kw, has_cls,
+            residual,
+        )
+    # Wide-K many-head geometries (block14: h=8, nk=1569) exceed the f32
+    # dk/dv VMEM residency: differentiate the XLA reference instead. The
+    # forward stays fused (probs never written in fwd); the backward
+    # materializes them once, like plain XLA's backward.
+    def f(q_, k_, v_, rh_, rw_, rt_, wp_, bp_):
+        return _reference_block(
+            q_, k_, v_, rh_, rw_, rt_, wp_, bp_, scale, kt, kh, kw,
+            has_cls, residual,
+        )
+
+    if rt is None:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, rh_, rw_, wp_, bp_: f(
+                q_, k_, v_, rh_, rw_, None, wp_, bp_
+            ),
+            q, k, v, rh, rw, wp, bp,
+        )
+        dq, dk, dv, drh, drw, dwp, dbp = vjp(dy)
+        return dq, dk, dv, drh, drw, None, dwp, dbp
+    _, vjp = jax.vjp(f, q, k, v, rh, rw, rt, wp, bp)
+    return vjp(dy)
 
 
 fused_attn_proj.defvjp(_vjp_fwd, _vjp_bwd)

@@ -121,6 +121,50 @@ class CBlock(nn.Module):
         return x
 
 
+def _mlp_tail(block, tok, det):
+    """[norm2 -> Mlp -> drop_path2 -> residual] tail shared by SA blocks.
+
+    Uses the fused VMEM kernel (ops/mlp_block_pallas) when enabled and
+    eligible; identical param tree and dropout rng stream either way.
+    """
+    hidden = int(block.dim * block.mlp_ratio)
+    if block.fused_mlp and block.drop == 0.0:
+        from pmv_tpu.ops.mlp_block_pallas import (
+            fits_vmem,
+            fused_mlp_residual,
+        )
+
+        if fits_vmem(block.dim, hidden):
+            from pmv_tpu.models.common import (
+                DropPathMask,
+                LNParamsHolder,
+                MlpParamsHolder,
+            )
+
+            ln_s, ln_b = LNParamsHolder(block.dim, name="norm2")()
+            w1, b1, w2, b2 = MlpParamsHolder(
+                block.dim, hidden, block.dim, name="mlp"
+            )()
+            dp = DropPathMask(block.drop_path, name="drop_path2")(
+                tok.shape[0], det
+            )
+            return fused_mlp_residual(
+                tok.astype(block.dtype), ln_s, ln_b, w1, b1, w2, b2, dp,
+                1e-6,
+            )
+    from pmv_tpu.models.common import Mlp
+
+    h = nn.LayerNorm(epsilon=1e-6, dtype=block.dtype, name="norm2")(tok)
+    h = Mlp(
+        hidden_features=hidden,
+        out_features=block.dim, drop_rate=block.drop, dtype=block.dtype,
+        name="mlp",
+    )(h, deterministic=det)
+    return tok + DropPath(block.drop_path, name="drop_path2")(
+        h, deterministic=det
+    )
+
+
 class SABlock(nn.Module):
     """Global spatiotemporal attention block (`uniformer.py:141-165`)."""
 
@@ -132,6 +176,7 @@ class SABlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    fused_mlp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -150,15 +195,7 @@ class SABlock(nn.Module):
             proj_drop=self.drop, dtype=self.dtype, name="attn",
         )(h, deterministic=det)
         tok = tok + DropPath(self.drop_path, name="drop_path1")(h, deterministic=det)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(tok)
-        from pmv_tpu.models.common import Mlp
-
-        h = Mlp(
-            hidden_features=int(self.dim * self.mlp_ratio),
-            out_features=self.dim, drop_rate=self.drop, dtype=self.dtype,
-            name="mlp",
-        )(h, deterministic=det)
-        tok = tok + DropPath(self.drop_path, name="drop_path2")(h, deterministic=det)
+        tok = _mlp_tail(self, tok, det)
         return tok.reshape(B, T, H, W, C)
 
 
@@ -173,6 +210,7 @@ class SplitSABlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    fused_mlp: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -208,15 +246,7 @@ class SplitSABlock(nn.Module):
             h, deterministic=det
         )
         tok = s_tok.reshape(B, T * H * W, C)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(tok)
-        from pmv_tpu.models.common import Mlp
-
-        h = Mlp(
-            hidden_features=int(self.dim * self.mlp_ratio),
-            out_features=self.dim, drop_rate=self.drop, dtype=self.dtype,
-            name="mlp",
-        )(h, deterministic=det)
-        tok = tok + DropPath(self.drop_path, name="drop_path2")(h, deterministic=det)
+        tok = _mlp_tail(self, tok, det)
         return tok.reshape(B, T, H, W, C)
 
 
@@ -311,6 +341,7 @@ class Uniformer(nn.Module):
                 dim=embed_dim[2], num_heads=num_heads[2], mlp_ratio=mlp_ratio,
                 qkv_bias=qkv_bias, qk_scale=qk_scale, drop=drop_rate,
                 attn_drop=attn_drop, drop_path=dpr[i + depth[0] + depth[1]],
+                fused_mlp=cfg.TPU.FUSED_MLP,
                 dtype=self.dtype, name=f"blocks3.{i}",
             )(x, train=train)
         x = UniPatchEmbed(
@@ -323,6 +354,7 @@ class Uniformer(nn.Module):
                 qkv_bias=qkv_bias, qk_scale=qk_scale, drop=drop_rate,
                 attn_drop=attn_drop,
                 drop_path=dpr[i + depth[0] + depth[1] + depth[2]],
+                fused_mlp=cfg.TPU.FUSED_MLP,
                 dtype=self.dtype, name=f"blocks4.{i}",
             )(x, train=train)
 

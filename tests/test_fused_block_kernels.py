@@ -129,6 +129,29 @@ def test_fused_block_train_mode_droppath_stream():
     )
 
 
+@pytest.mark.parametrize("cls_name", ["SABlock", "SplitSABlock"])
+def test_uniformer_fused_mlp_matches(cls_name):
+    from pmv_tpu.models import uniformer
+
+    cls = getattr(uniformer, cls_name)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (2, 2, 4, 4, 32), jnp.float32
+    )
+    kw = dict(dim=32, num_heads=4, drop_path=0.3)
+    m1 = cls(fused_mlp=True, **kw)
+    m0 = cls(fused_mlp=False, **kw)
+    v1 = m1.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    v0 = m0.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(
+        v1
+    )
+    y1 = m1.apply(v0, x, train=False)
+    y0 = m0.apply(v0, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), atol=2e-5, rtol=1e-4
+    )
+
+
 def test_per_head_attn_impl_matches_batched():
     from pmv_tpu.models.attention import MultiScaleAttention
 

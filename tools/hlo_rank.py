@@ -92,11 +92,70 @@ def main():
         if kind in ("bitcast", "get-tuple-element", "tuple", "parameter",
                     "constant", "copy-done", "async-done", "after-all"):
             continue
-        b = line_bytes(ls)
+        if kind in ("copy-start", "async-start"):
+            # Tuple-result async ops print (context/full-input, moved-slice,
+            # token): the real HBM movement is the moved slice only.
+            sizes = [shape_bytes(m) for m in SHAPE_RE.finditer(
+                ls[: ls.find(", metadata={")] if ", metadata={" in ls else ls
+            )]
+            sizes = [s for s in sizes if s > 1024]
+            b = min(sizes) if sizes else line_bytes(ls)
+        else:
+            b = line_bytes(ls)
         total += b
         groups[group_key(op_name)] += b
         op_groups[kind] += b
         rows.append((b, name, kind, op_name[:110]))
+    # Second pass: attribute un-named async staging (slice-start /
+    # copy-start) to the op that consumes the corresponding -done value —
+    # the staging read IS that consumer's operand traffic.
+    entry_lines = []
+    for l in lines[start + 1:]:
+        if l.startswith("}"):
+            break
+        entry_lines.append(l.strip())
+    name_to_opname = {}
+    for ls in entry_lines:
+        if " = " not in ls:
+            continue
+        nm = ls.split(" = ", 1)[0].lstrip("%")
+        m = OPNAME_RE.search(ls)
+        if m:
+            name_to_opname[nm] = m.group(1)
+    restaged = collections.Counter()
+    for idx, (b, name, kind, op_name) in enumerate(rows):
+        if op_name or kind not in ("copy-start", "async-start"):
+            continue
+        done = name.lstrip("%").replace("start", "done")
+        consumer = ""
+        probe = f"%{done}"
+        for ls in entry_lines:
+            if " = " not in ls:
+                continue
+            rhs = ls.split(" = ", 1)[1]
+            if probe + ")" in rhs or probe + "," in rhs or probe + " " in rhs:
+                nm = ls.split(" = ", 1)[0].lstrip("%")
+                consumer = name_to_opname.get(nm, "")
+                # follow one get-tuple-element hop
+                if not consumer:
+                    probe2 = f"%{nm}"
+                    for ls2 in entry_lines:
+                        if " = " not in ls2:
+                            continue
+                        rhs2 = ls2.split(" = ", 1)[1]
+                        if probe2 + ")" in rhs2 or probe2 + "," in rhs2:
+                            nm2 = ls2.split(" = ", 1)[0].lstrip("%")
+                            consumer = name_to_opname.get(nm2, "")
+                            if consumer:
+                                break
+                if consumer:
+                    break
+        if consumer:
+            restaged[group_key(consumer) + ":staged"] += b
+            groups["?"] -= b
+            rows[idx] = (b, name, kind, "(staged for) " + consumer[:90])
+    for k, v in restaged.items():
+        groups[k] += v
     rows.sort(reverse=True)
     print(f"total est. entry traffic: {total / 1e9:.1f} GB")
     print("\n== top instructions ==")

@@ -334,14 +334,20 @@ class AttentionPool(nn.Module):
             tiled = jnp.tile(kernel.reshape(kt, kh, kw, C), (1, 1, 1, H)).astype(
                 self.dtype
             )
+            # Unrolled taps over DISJOINT strided views: the (i, j) slices
+            # partition z, so the 27 FMAs read each element exactly once in
+            # the tokens-major layout — no relayout. (The einsum form made
+            # XLA physically transpose the 6-d gather: 54 MB copies/block,
+            # tools/hlo_rank.py.)
             acc = None
             for dt in range(kt):
-                term = jnp.einsum(
-                    "btpiqjc,ijc->btpqc",
-                    z[:, dt : dt + T_out],
-                    tiled[dt],
-                )
-                acc = term if acc is None else acc + term
+                zt = z[:, dt : dt + T_out]
+                for i in range(kh):
+                    for j in range(kw):
+                        term = (
+                            zt[:, :, :, i, :, j, :] * tiled[dt, i, j]
+                        ).astype(jnp.float32)
+                        acc = term if acc is None else acc + term
             proj_bias = sparse_bias
             if proj_bias is not None:
                 # The dense conv zero-pads the *projected* grid; the

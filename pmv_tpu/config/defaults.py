@@ -585,6 +585,10 @@ _C.DEMO.STARTING_SECOND = 900
 _C.TPU = CfgNode()
 _C.TPU.MESH_SHAPE = []  # e.g. [8] or [4, 2]; empty = all local devices on "data"
 _C.TPU.MESH_AXES = ["data"]
+# Sharding strategy: "dp" pure data parallel (reference DDP equivalent) |
+# "dp_sp" adds temporal sequence parallelism over a (data, model) mesh |
+# "fsdp" ZeRO-3-style parameter sharding over the data axis.
+_C.TPU.SHARD_STRATEGY = "dp"
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.COORDINATOR_ADDRESS = ""  # jax.distributed.initialize rendezvous

@@ -41,7 +41,7 @@ def train_ssl(cfg):
             {"frames": example["frames"], "index": example["index"]}, rng,
         )
         train_step = jax.jit(ssl_steps.make_ssl_train_step(cfg, model, tx))
-    state = mesh_lib.replicate(state, mesh)
+    state = mesh_lib.replicate(state, mesh, cfg.TPU.SHARD_STRATEGY)
 
     meter = meters_mod.TrainMeter(len(train_loader), cfg)
     start_epoch = 0

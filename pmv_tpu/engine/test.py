@@ -313,7 +313,7 @@ def test(cfg):
             example_batch={"frames": example["frames"]},
         )
     state = cu.load_test_checkpoint(cfg, state)
-    state = mesh_lib.replicate(state, mesh)
+    state = mesh_lib.replicate(state, mesh, cfg.TPU.SHARD_STRATEGY)
 
     if cfg.DETECTION.ENABLE:
         return test_detection(cfg, state, model, mesh)

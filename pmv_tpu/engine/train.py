@@ -234,7 +234,7 @@ def train(cfg):
         state = state.replace(
             params=pretrain.load_pretrained_params(cfg, state.params)
         )
-    state = mesh_lib.replicate(state, mesh)
+    state = mesh_lib.replicate(state, mesh, cfg.TPU.SHARD_STRATEGY)
 
     if cfg.DETECTION.ENABLE:
         train_step = jax.jit(steps.make_detection_train_step(cfg, model, tx))
@@ -285,7 +285,7 @@ def train(cfg):
                     rng,
                 )
                 state = cu.adapt_state_across_bn(state, template)
-                state = mesh_lib.replicate(state, mesh)
+                state = mesh_lib.replicate(state, mesh, cfg.TPU.SHARD_STRATEGY)
                 train_step = jax.jit(steps.make_train_step(cfg, model, tx))
                 train_step_pm = (
                     jax.jit(steps.make_train_step(

@@ -59,6 +59,15 @@ def create_mesh(cfg=None, devices=None, axis_names=None, shape=None):
     if cfg is not None:
         axis_names = axis_names or tuple(cfg.TPU.MESH_AXES)
         shape = shape or (tuple(cfg.TPU.MESH_SHAPE) or None)
+        if (
+            not shape
+            and cfg.TPU.SHARD_STRATEGY == "dp_sp"
+            and len(devices) % 2 == 0
+            and "model" not in (axis_names or ())
+        ):
+            # Default (data, model) split for sequence parallelism.
+            shape = (len(devices) // 2, 2)
+            axis_names = ("data", "model")
     axis_names = tuple(axis_names or ("data",))
     if shape:
         assert int(np.prod(shape)) == len(devices), (
@@ -70,8 +79,22 @@ def create_mesh(cfg=None, devices=None, axis_names=None, shape=None):
     return Mesh(dev_array, axis_names)
 
 
-def batch_sharding(mesh):
-    """Shard the leading (batch) axis over the 'data' mesh axis."""
+def batch_sharding(mesh, ndim=None):
+    """Shard the leading (batch) axis over the 'data' mesh axis.
+
+    With a 2-D (data, model) mesh and a rank-5 video tensor, the temporal
+    axis additionally shards over 'model' — sequence parallelism. The
+    reference has no analogue (DDP only, SURVEY.md section 2.5); on TPU the
+    t-major token flatten keeps temporal shards contiguous, pooled K/V is
+    small, and GSPMD inserts the halo exchanges for the pooling convs and
+    the K/V all-gathers for attention over ICI.
+    """
+    if (
+        ndim == 5
+        and "model" in mesh.axis_names
+        and mesh.shape["model"] > 1
+    ):
+        return NamedSharding(mesh, P("data", "model"))
     return NamedSharding(mesh, P("data"))
 
 
@@ -79,14 +102,41 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh):
-    """Device_put a host batch pytree with batch-axis sharding."""
-    sharding = batch_sharding(mesh)
+def param_sharding(mesh, x):
+    """FSDP-style (ZeRO-3) sharding rule: shard the largest axis of big
+    parameters over 'data'; small tensors stay replicated. GSPMD turns the
+    per-use all-gathers + grad reduce-scatters into ICI collectives."""
+    if x.ndim == 0 or x.size < (1 << 16):
+        return NamedSharding(mesh, P())
+    sizes = list(x.shape)
+    ax = int(np.argmax(sizes))
+    if sizes[ax] % mesh.shape["data"] != 0:
+        return NamedSharding(mesh, P())
+    spec = [None] * x.ndim
+    spec[ax] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(batch, mesh, sequence_parallel=True):
+    """Device_put a host batch pytree with batch-axis sharding (+ temporal
+    sequence sharding for rank-5 video tensors on a (data, model) mesh)."""
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
+        lambda x: jax.device_put(
+            x,
+            batch_sharding(
+                mesh, np.ndim(x) if sequence_parallel else None
+            ),
+        ),
+        batch,
     )
 
 
-def replicate(tree, mesh):
+def replicate(tree, mesh, strategy="dp"):
+    """Place train state on the mesh: replicated ('dp'/'dp_sp') or
+    parameter-sharded ('fsdp')."""
+    if strategy == "fsdp":
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, param_sharding(mesh, x)), tree
+        )
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

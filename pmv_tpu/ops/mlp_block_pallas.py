@@ -55,7 +55,9 @@ def _pick_tile(n, c, hidden):
     elif hidden <= 1024:
         target = 512
     else:
-        target = 256
+        # hidden=1536 (C=384): the f32 dW1/dW2 accumulators already hold
+        # 4.7 MB; keep the [tile, hidden] temporaries small.
+        target = 128
     ntiles = max(1, -(-n // target))
     return _round_up(-(-n // ntiles), 16), ntiles
 

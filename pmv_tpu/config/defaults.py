@@ -196,6 +196,9 @@ _C.UNIFORMER.PATCH_KERNEL = []
 _C.UNIFORMER.PATCH_STRIDE = []
 _C.UNIFORMER.PATCH_PADDING = []
 _C.UNIFORMER.STAGE_TYPE = [0, 0, 1, 1]
+# Attention lowering for SA blocks: "batched" | "per_head" (tokens-major
+# weight-slice dots, no qkv/probs relayouts — see MVIT.ATTN_IMPL).
+_C.UNIFORMER.ATTN_IMPL = "batched"
 
 # ------------------------------------------------------------------------ X3D
 _C.X3D = CfgNode()

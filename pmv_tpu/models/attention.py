@@ -18,7 +18,7 @@ implementation, by design:
   early-stage sequences.
 """
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -66,6 +66,7 @@ class FusedQKVSplitDots(nn.Module):
     dim_out: int
     num_heads: int
     use_bias: bool = False
+    kernel_init: Any = None  # default trunc_normal_init(0.02)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,7 +78,9 @@ class FusedQKVSplitDots(nn.Module):
         strided pooling conv actually reads."""
         B, N, in_dim = x.shape
         kernel = self.param(
-            "kernel", trunc_normal_init(0.02), (in_dim, 3 * self.dim_out)
+            "kernel",
+            self.kernel_init or trunc_normal_init(0.02),
+            (in_dim, 3 * self.dim_out),
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (3 * self.dim_out,))

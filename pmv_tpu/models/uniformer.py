@@ -54,6 +54,8 @@ class Attention(nn.Module):
     qk_scale: Any = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    impl: str = "batched"  # "batched" | "per_head" (tokens-major, no
+    #                         h<->q relayouts; UNIFORMER.ATTN_IMPL)
     dtype: jnp.dtype = jnp.float32
     zero_init: bool = False  # t_attn special init (`uniformer.py:397-407`)
 
@@ -68,17 +70,38 @@ class Attention(nn.Module):
         proj_init = (
             nn.initializers.ones if self.zero_init else trunc_normal_init(0.02)
         )
-        qkv = nn.Dense(
-            3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-            kernel_init=qkv_init, name="qkv",
-        )(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q * scale) @ k.transpose(0, 1, 3, 2)
-        attn = nn.softmax(attn, axis=-1)
-        if self.attn_drop > 0:
-            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        x = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
+        if self.impl == "per_head" and self.attn_drop == 0.0:
+            # Weight-slice qkv dots + head-sliced einsums: same param tree
+            # as Dense(3C)+Dense(C), no [B,N,3,H,D] activation transposes
+            # (the relayout copies dominate the batched form's HBM traffic
+            # on TPU — tools/hlo_rank.py on the MViT step).
+            from pmv_tpu.models.attention import FusedQKVSplitDots
+
+            q, k, v = FusedQKVSplitDots(
+                dim_out=C, num_heads=self.num_heads,
+                use_bias=self.qkv_bias, kernel_init=qkv_init,
+                dtype=self.dtype, name="qkv",
+            )(x)
+            outs = []
+            for hd in range(self.num_heads):
+                s = jnp.einsum(
+                    "bqc,bkc->bqk", q[:, :, hd] * scale, k[:, :, hd]
+                )
+                p = nn.softmax(s, axis=-1)
+                outs.append(jnp.einsum("bqk,bkc->bqc", p, v[:, :, hd]))
+            x = jnp.stack(outs, axis=2).reshape(B, N, C)
+        else:
+            qkv = nn.Dense(
+                3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                kernel_init=qkv_init, name="qkv",
+            )(x)
+            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * scale) @ k.transpose(0, 1, 3, 2)
+            attn = nn.softmax(attn, axis=-1)
+            if self.attn_drop > 0:
+                attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            x = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
         x = nn.Dense(
             C, dtype=self.dtype, kernel_init=proj_init, name="proj"
         )(x)
@@ -177,6 +200,7 @@ class SABlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fused_mlp: bool = False
+    attn_impl: str = "batched"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -192,7 +216,8 @@ class SABlock(nn.Module):
         h = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
-            proj_drop=self.drop, dtype=self.dtype, name="attn",
+            proj_drop=self.drop, impl=self.attn_impl, dtype=self.dtype,
+            name="attn",
         )(h, deterministic=det)
         tok = tok + DropPath(self.drop_path, name="drop_path1")(h, deterministic=det)
         tok = _mlp_tail(self, tok, det)
@@ -211,6 +236,7 @@ class SplitSABlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     fused_mlp: bool = False
+    attn_impl: str = "batched"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -240,7 +266,8 @@ class SplitSABlock(nn.Module):
         h = Attention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop,
-            proj_drop=self.drop, dtype=self.dtype, name="attn",
+            proj_drop=self.drop, impl=self.attn_impl, dtype=self.dtype,
+            name="attn",
         )(h, deterministic=det)
         s_tok = s_tok + DropPath(self.drop_path, name="drop_path1")(
             h, deterministic=det
@@ -342,6 +369,7 @@ class Uniformer(nn.Module):
                 qkv_bias=qkv_bias, qk_scale=qk_scale, drop=drop_rate,
                 attn_drop=attn_drop, drop_path=dpr[i + depth[0] + depth[1]],
                 fused_mlp=cfg.TPU.FUSED_MLP,
+                attn_impl=cfg.UNIFORMER.ATTN_IMPL,
                 dtype=self.dtype, name=f"blocks3.{i}",
             )(x, train=train)
         x = UniPatchEmbed(
@@ -355,6 +383,7 @@ class Uniformer(nn.Module):
                 attn_drop=attn_drop,
                 drop_path=dpr[i + depth[0] + depth[1] + depth[2]],
                 fused_mlp=cfg.TPU.FUSED_MLP,
+                attn_impl=cfg.UNIFORMER.ATTN_IMPL,
                 dtype=self.dtype, name=f"blocks4.{i}",
             )(x, train=train)
 

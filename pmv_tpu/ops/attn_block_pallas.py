@@ -74,6 +74,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rcat_ref, ecat_ref, mask_ref,
     i = pl.program_id(1)
     ecat = ecat_ref[...]
     mask = mask_ref[...]
+    rm = _res_mask(tile_q, i, has_cls) if residual else None
     outs = []
     for hd in range(nheads):
         s = _scores(
@@ -81,18 +82,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rcat_ref, ecat_ref, mask_ref,
             _qh(rcat_ref, hd, nheads), ecat, mask, scale
         )
         p = _softmax(s).astype(v_ref.dtype)
-        outs.append(
-            jax.lax.dot_general(
-                p, _kh(v_ref, hd, nheads),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(q_ref.dtype)
-        )
+        o_h = jax.lax.dot_general(
+            p, _kh(v_ref, hd, nheads),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(q_ref.dtype)
+        if residual:
+            # Per-head residual merge: a (TQ, H, D) -> (TQ, H*D) shape
+            # cast is not lowerable for non-lane-aligned D, so q is added
+            # head by head before the lane-concat.
+            qm = _qh(q_ref, hd, nheads)
+            o_h = o_h + (qm if rm is None else jnp.where(rm, qm, 0))
+        outs.append(o_h)
     o = _cat(outs)
-    if residual:
-        qm = q_ref[...] if nheads == 1 else q_ref[...].reshape(o.shape)
-        rm = _res_mask(o.shape[0], i, has_cls)
-        o = o + (qm if rm is None else jnp.where(rm, qm, 0))
     y = jax.lax.dot_general(
         o, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -41,6 +41,10 @@ FUSED_ATTENTION_MIN_Q = 4096
 FUSED_ATTENTION_TRAIN_MIN_K = 10 ** 9
 FUSED_ATTENTION_TRAIN_H1 = True   # train: use kernel for 1-head blocks
 FUSED_ATTENTION_EVAL = False      # eval: XLA path wins end-to-end
+# Fused attention+proj half-block (TPU.FUSED_ATTN): minimum Nq*Nk for the
+# kernel; below it the XLA path keeps the block (standalone per-geometry
+# numbers in tools/micro_fused.py; end-to-end decides the default).
+FUSED_BLOCK_MIN_SCORES = 0
 _DIAG_SKIP_POOL_LN = False  # diagnostic only
 # Diagnostics (wrong math, timing only — tools/ablate.py): price the
 # attention core (scores+softmax+@v+rel-pos) / the MLP branch inside the
@@ -688,6 +692,10 @@ class MultiScaleAttention(nn.Module):
             and self.rel_pos_spatial
             and self.drop_rate == 0.0
             and not self.pool_first
+            # Per-geometry frontier (tools/micro_fused.py on v5e): the
+            # kernel pays where the [Nq, Nk] matrix it keeps in VMEM is
+            # large; small-scores blocks keep XLA's fully-fused lowering.
+            and q.shape[1] * k.shape[1] >= FUSED_BLOCK_MIN_SCORES
         )
         if fused_block:
             from pmv_tpu.models.common import DenseParamsHolder

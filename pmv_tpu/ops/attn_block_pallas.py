@@ -45,6 +45,13 @@ from pmv_tpu.ops.attention_pallas import (
 
 INTERPRET_OVERRIDE: Optional[bool] = None
 
+# In a large jitted module XLA's memory-space assignment may pin kernel
+# outputs in VMEM (S(1)), stacking on top of the kernel's own scoped
+# allocation; the default 16 MiB scoped limit then fails compile for
+# geometries that fit standalone. v5e has 128 MiB VMEM — raise the scoped
+# ceiling and leave placement to the compiler.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _interpret():
     if INTERPRET_OVERRIDE is not None:
@@ -287,6 +294,7 @@ def _fwd_impl(q, k, v, rh, rw, rt, wp, bp, scale, kt, kh, kw, has_cls,
             bytes_accessed=2 * (2 * b * nq * h * d + 2 * b * h * nk_pad * d),
             transcendentals=b * h * ntiles * tile_q * nk_pad,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(qk, kt_, vt_, rcat, jnp.asarray(E), jnp.asarray(mask),
       wp.astype(dt), bp.reshape(1, dim_out).astype(dt))
@@ -337,6 +345,7 @@ def _bwd_impl(q, k, v, rh, rw, rt, wp, bp, dy, scale, kt, kh, kw, has_cls,
             bytes_accessed=2 * (4 * b * nq * h * d + 4 * b * h * nk_pad * d),
             transcendentals=b * h * ntiles * tile_q * nk_pad,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(qk, kt_, vt_, rcat, jnp.asarray(E), jnp.asarray(mask),
       wp.astype(dt), bp.reshape(1, dim_out).astype(dt), dy)

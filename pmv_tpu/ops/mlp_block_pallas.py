@@ -37,6 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 # Tests force interpreter mode off-TPU.
 INTERPRET_OVERRIDE: Optional[bool] = None
 
+# See ops/attn_block_pallas._COMPILER_PARAMS: XLA may stack VMEM-pinned
+# kernel outputs on the scoped allocation inside large modules.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _interpret():
     if INTERPRET_OVERRIDE is not None:
@@ -231,6 +235,7 @@ def _fwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, dp, eps):
             bytes_accessed=2 * 2 * bsz * n * c + 4 * c * hidden,
             transcendentals=bsz * n * hidden,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*args)
 
@@ -266,6 +271,7 @@ def _bwd_impl(x, ln_s, ln_b, w1, b1, w2, b2, dp, dy, eps):
             bytes_accessed=3 * 2 * bsz * n * c + 12 * c * hidden,
             transcendentals=2 * bsz * n * hidden,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(*(args + (dy,)))
     dx, dscale, dbias, dw1, db1, dw2, db2 = outs

@@ -88,6 +88,11 @@ VARIANTS = {
     "eval_fused_mlp": lambda c: _set(c, [("TPU.FUSED_MLP", True)]),
     "fused_attn": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
     "eval_fused_attn": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
+    # Per-geometry frontier sweep: MIN_SCORES 2e6 keeps b0/b1/b2/b3 on the
+    # kernel (drops s3 x10 + b14 x2); 4e6 keeps only b0/b1.
+    "fused_attn_ge2m": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
+    "fused_attn_ge4m": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
+    "fused_attn_ge2m_bs32": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
     "fused_both": lambda c: _set(
         c, [("TPU.FUSED_ATTN", True), ("TPU.FUSED_MLP", True)]
     ),
@@ -148,6 +153,10 @@ def time_variant(name):
             1024 if name == "attn_pl_b1" else 10 ** 9
         )
         attn_mod.FUSED_ATTENTION_EVAL = name == "attn_pl_evalonly"
+    attn_mod.FUSED_BLOCK_MIN_SCORES = (
+        2 * 10 ** 6 if "_ge2m" in name else
+        4 * 10 ** 6 if "_ge4m" in name else 0
+    )
     attn_mod._DIAG_ATTENTION_IDENTITY = name.endswith("diag_attn_ident")
     attn_mod._DIAG_SKIP_MLP = name == "diag_skip_mlp"
     attn_mod._DIAG_SKIP_ATTN_BRANCH = name == "diag_skip_attn_branch"
@@ -157,6 +166,7 @@ def time_variant(name):
         "bs16": 16, "bs32": 32, "bs64": 64,
         "remat_bs16": 16, "remat_bs32": 32, "remat_bs64": 64,
         "remat12_bs32": 32, "remat12_bs64": 64,
+        "fused_attn_ge2m_bs32": 32,
     }.get(name, BATCH)
     model = build_model(cfg)
     from pmv_tpu.utils import misc

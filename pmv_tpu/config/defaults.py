@@ -607,6 +607,10 @@ _C.TPU.REMAT_MIN_SEQ = 0
 # Fused MLP half-block Pallas kernel (LN2+fc1+gelu+fc2+droppath+residual in
 # one VMEM pass, recompute backward) for eligible MViT blocks.
 _C.TPU.FUSED_MLP = False
+# Patch-embed conv as space-to-depth + block matmuls (bit-equal; avoids
+# XLA's C=3-minor conv input relayout). Measured LOSS on v5e (the 8
+# strided partial dots cost more than the conv relayout) — default off.
+_C.TPU.S2D_STEM = False
 # Fused attention half-block Pallas kernel (scores+softmax+@v+residual-
 # pooling+proj in one VMEM pass, flash recompute backward).
 _C.TPU.FUSED_ATTN = False

@@ -193,6 +193,7 @@ class MViT(nn.Module):
             stride=cfg.MVIT.PATCH_STRIDE,
             padding=cfg.MVIT.PATCH_PADDING,
             conv_2d=cfg.MVIT.PATCH_2D,
+            use_s2d=cfg.TPU.S2D_STEM,
             dtype=self.dtype,
             name="patch_embed",
         )(x)

@@ -1,0 +1,43 @@
+"""Space-to-depth patch-embed lowering equals the conv stem bit-near.
+
+The S2D path (`pmv_tpu/models/stem.py` `_s2d_patch_conv`) reuses the exact
+conv param tree, so it must produce the same tokens for any geometry it
+claims to cover. Reference semantics: `MViT/slowfast/models/stem_helper.py`
+PatchEmbed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmv_tpu.models.stem import PatchEmbed, _s2d_conv_applies
+
+
+GEOMETRIES = [
+    # (kernel, stride, padding, input shape) — MViT stem, MAE-style, 1x8x8.
+    ((3, 7, 7), (2, 4, 4), (1, 3, 3), (2, 8, 32, 36, 3)),
+    ((2, 4, 4), (2, 4, 4), (0, 0, 0), (2, 8, 16, 16, 3)),
+    ((1, 8, 8), (1, 8, 8), (0, 0, 0), (1, 4, 24, 24, 3)),
+]
+
+
+@pytest.mark.parametrize("kernel,stride,pad,shape", GEOMETRIES)
+def test_s2d_matches_conv(kernel, stride, pad, shape):
+    assert _s2d_conv_applies(kernel, stride, pad)
+    x = jnp.asarray(np.random.RandomState(0).randn(*shape).astype(np.float32))
+    conv = PatchEmbed(dim_out=96, kernel=kernel, stride=stride, padding=pad,
+                      use_s2d=False)
+    s2d = PatchEmbed(dim_out=96, kernel=kernel, stride=stride, padding=pad,
+                     use_s2d=True)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    y0, thw0 = conv.apply(params, x)
+    y1, thw1 = s2d.apply(params, x)  # same param tree by construction
+    assert thw0 == thw1
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_s2d_gate_rejects_wide_kernels():
+    # Kernel spanning >2 stride blocks per axis is out of scope.
+    assert not _s2d_conv_applies((5, 7, 7), (1, 4, 4), (0, 3, 3))

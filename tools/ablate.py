@@ -84,6 +84,12 @@ VARIANTS = {
     "diag_attn_ident": lambda c: c,
     "diag_skip_mlp": lambda c: c,
     "diag_skip_attn_branch": lambda c: c,
+    "conv_stem": lambda c: _set(c, [("TPU.S2D_STEM", False)]),
+    "eval_conv_stem": lambda c: _set(c, [("TPU.S2D_STEM", False)]),
+    # DIAGNOSTIC (different model: no cls token, mean-pool head): bounds
+    # the cost of the cls split/concat copies around every pool.
+    "diag_no_cls": lambda c: _set(c, [("MVIT.CLS_EMBED_ON", False)]),
+    "bs4": lambda c: c,
     "fused_mlp": lambda c: _set(c, [("TPU.FUSED_MLP", True)]),
     "eval_fused_mlp": lambda c: _set(c, [("TPU.FUSED_MLP", True)]),
     "fused_attn": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
@@ -163,7 +169,7 @@ def time_variant(name):
 
     cfg = VARIANTS[name](base_cfg())
     batch_size = {
-        "bs16": 16, "bs32": 32, "bs64": 64,
+        "bs4": 4, "bs16": 16, "bs32": 32, "bs64": 64,
         "remat_bs16": 16, "remat_bs32": 32, "remat_bs64": 64,
         "remat12_bs32": 32, "remat12_bs64": 64,
         "fused_attn_ge2m_bs32": 32,

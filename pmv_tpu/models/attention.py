@@ -269,6 +269,71 @@ def decimate_pool_windows(x, thw, kernel, stride):
     return g, (Tp, Ph, Pw)
 
 
+def _token_shift_masks(thw, kernel, has_cls):
+    """Validity masks + flat offsets for a stride-1 SAME depthwise conv
+    computed directly on the flat token axis (cls row, if any, at 0).
+
+    For output grid token (t,h,w), tap (dt,dh,dw) reads flat index
+    n + dt*H*W + dh*W + dw — valid only when the 3-D source coordinate is
+    in range (this also excludes row-wrap aliases and the cls row).
+    Constants are built with numpy at trace time (~tens of KB).
+    """
+    T, H, W = thw
+    kt, kh, kw = kernel
+    n = T * H * W
+    c0 = 1 if has_cls else 0
+    t_i, h_i, w_i = np.unravel_index(np.arange(n), (T, H, W))
+    masks, offsets = [], []
+    for dt in range(-(kt // 2), kt - kt // 2):
+        for dh in range(-(kh // 2), kh - kh // 2):
+            for dw in range(-(kw // 2), kw - kw // 2):
+                valid = (
+                    (t_i + dt >= 0) & (t_i + dt < T)
+                    & (h_i + dh >= 0) & (h_i + dh < H)
+                    & (w_i + dw >= 0) & (w_i + dw < W)
+                )
+                m = np.zeros(c0 + n, np.float32)
+                m[c0:] = valid
+                masks.append(m)
+                offsets.append(dt * H * W + dh * W + dw)
+    return masks, offsets
+
+
+def _dw_token_shift(x, tiled, thw, kernel, has_cls, dtype):
+    """Stride-1 SAME depthwise conv as masked shifted FMAs over the flat
+    token axis: no grid reshape, no cls split/concat, no grouped-conv
+    lowering. x: [B, Ntot, F...] tokens (cls first when has_cls); tiled:
+    [kt, kh, kw, HC] per-channel taps. Exact same math as the grid conv
+    (invalid taps masked to zero = SAME zero padding); f32 accumulation
+    matches the conv's accumulator. Gradient is shifted FMAs again (pad
+    and slice transpose to each other).
+    """
+    B, ntot = x.shape[:2]
+    feats = int(np.prod(x.shape[2:]))
+    xf = x.reshape(B, ntot, feats)
+    masks, offsets = _token_shift_masks(thw, kernel, has_cls)
+    taps = tiled.reshape(-1, feats)
+    acc = None
+    for i, (m, off) in enumerate(zip(masks, offsets)):
+        if off > 0:
+            src = jnp.pad(xf[:, off:], ((0, 0), (0, off), (0, 0)))
+        elif off < 0:
+            src = jnp.pad(xf[:, :off], ((0, 0), (-off, 0), (0, 0)))
+        else:
+            src = xf
+        term = (
+            src
+            * jnp.asarray(m, dtype)[None, :, None]
+            * taps[i][None, None, :]
+        ).astype(jnp.float32)
+        acc = term if acc is None else acc + term
+    out = acc.astype(dtype)
+    if has_cls:
+        # cls bypasses pooling (masks already zeroed its output row).
+        out = out.at[:, :1].set(xf[:, :1].astype(dtype))
+    return out.reshape((B, ntot) + x.shape[2:])
+
+
 def _pool_conv(x, w, stride, padding):
     """Depthwise NDHWC conv (w [kt,kh,kw,1,C], groups = C).
 
@@ -404,6 +469,35 @@ class AttentionPool(nn.Module):
                 )(x)
             return x, (T_out, Ph, Pw)
         T, Hh, Ww = thw_shape
+        if (
+            self.mode == "conv"
+            and self.pool_impl == "token_shift"
+            and all(s == 1 for s in self.stride)
+            and not self.use_pallas_pools
+        ):
+            # Stride-1 pools in the flat tokens-major layout: masked
+            # shifted FMAs instead of cls-split + grid reshape + grouped
+            # conv. Measured LOSS end-to-end on v5e (96.4 -> 123.2 ms):
+            # the conv's weight gradient becomes 27 full-tensor
+            # multiply-reduces (tools/profile_step.py: pool mul:bwd 8.0 +
+            # reduce_sum:bwd 6.5 ms) — XLA's grouped-conv wgrad is
+            # compact. Kept as an explicit opt-in for other shapes.
+            B2, _, H2, C2 = x.shape
+            kernel = self.param(
+                "pool_kernel",
+                trunc_normal_init(0.02),
+                tuple(self.kernel) + (1, C2),
+            )
+            tiled = jnp.tile(kernel, (1, 1, 1, 1, H2)).astype(self.dtype)
+            x = _dw_token_shift(
+                x.astype(self.dtype), tiled, thw_shape, tuple(self.kernel),
+                self.has_cls_embed, self.dtype,
+            )
+            if not _DIAG_SKIP_POOL_LN:
+                x = nn.LayerNorm(
+                    epsilon=self.norm_eps, dtype=self.dtype, name="norm"
+                )(x)
+            return x, tuple(thw_shape)
         if self.has_cls_embed:
             cls_tok, x = x[:, :1], x[:, 1:]
         padding = [(k // 2, k // 2) for k in self.kernel]
@@ -868,7 +962,12 @@ class MultiScaleAttention(nn.Module):
         if self.residual_pooling:
             # `attention.py:450-454`: add pooled q (skipping cls row when on).
             if self.has_cls_embed:
-                x = x.at[:, 1:].add(q[:, 1:])
+                # Same math as x.at[:, 1:].add(q[:, 1:]), but the full add
+                # fuses for free and the update-slice touches ONE row
+                # instead of N-1 (the at[].add form lowered to a whole-
+                # tensor dynamic-update-slice, ~0.28 ms x 16 blocks on v5e,
+                # tools/profile_step.py).
+                x = (x + q).at[:, :1].set(x[:, :1])
             else:
                 x = x + q
 

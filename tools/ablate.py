@@ -29,6 +29,10 @@ def base_cfg():
     cfg.AUG.ENABLE = True
     cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
     cfg.AUG.RE_PROB = 0.25
+    # Match bench.py's production recipe so ablations measure what the
+    # scoreboard runs (both were measured wins, ROADMAP).
+    cfg.TPU.PRNG_IMPL = "rbg"
+    cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
     return cfg
 
 

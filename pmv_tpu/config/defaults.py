@@ -611,6 +611,16 @@ _C.TPU.FUSED_MLP = False
 # XLA's C=3-minor conv input relayout). Measured LOSS on v5e (the 8
 # strided partial dots cost more than the conv relayout) — default off.
 _C.TPU.S2D_STEM = False
+# Skip-path max pool with equality-mask backward instead of XLA's slow
+# select_and_scatter (same forward; gradient differs only on exact ties
+# inside a window — see ops/maxpool_eqgrad.py). Measured LOSS end-to-end
+# on v5e (95.5 vs 93.8 ms/step base): the phase-decomposed mask/shift
+# stack out-costs select_and_scatter at these geometries. Default off.
+_C.TPU.EQGRAD_SKIP_POOL = False
+# Patch-embed conv with spatial stride blocks folded into input channels
+# (3 -> sh*sw*3; weights re-embedded exactly, same param tree). Fixes the
+# ~4%-efficiency C_in=3 conv lowering: 97.4 -> 93.5 ms/step on v5e.
+_C.TPU.FOLD_STEM = True
 # Fused attention half-block Pallas kernel (scores+softmax+@v+residual-
 # pooling+proj in one VMEM pass, flash recompute backward).
 _C.TPU.FUSED_ATTN = False

@@ -194,6 +194,7 @@ class MViT(nn.Module):
             padding=cfg.MVIT.PATCH_PADDING,
             conv_2d=cfg.MVIT.PATCH_2D,
             use_s2d=cfg.TPU.S2D_STEM,
+            use_fold=cfg.TPU.FOLD_STEM,
             dtype=self.dtype,
             name="patch_embed",
         )(x)
@@ -313,6 +314,7 @@ class MViT(nn.Module):
                 fused_mlp=cfg.TPU.FUSED_MLP,
                 fused_attn=cfg.TPU.FUSED_ATTN,
                 attn_impl=cfg.MVIT.ATTN_IMPL,
+                eqgrad_skip_pool=cfg.TPU.EQGRAD_SKIP_POOL,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

@@ -3,6 +3,7 @@
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +73,66 @@ def _s2d_patch_conv(x, w, b, kernel, stride, padding, dtype):
     return (y + b.astype(jnp.float32)).astype(dtype)
 
 
+def _fold_applies(kernel, stride, padding):
+    """Spatial fold needs each output window to span <=2 folded cells per
+    spatial axis: kernel <= stride + padding and padding <= stride."""
+    return all(
+        k <= s + p and p <= s
+        for k, s, p in zip(kernel[1:], stride[1:], padding[1:])
+    ) and stride[1] > 1 and stride[2] > 1
+
+
+def _fold_patch_conv(x, w, b, kernel, stride, padding, dtype):
+    """Patch-embed conv with the spatial stride blocks folded into input
+    channels: [B,T,H,W,3] -> [B,T,H/sh,W/sw,sh*sw*3], kernel re-embedded
+    to [kt, ch, cw, sh*sw*3, D] (zeros at never-read taps).
+
+    XLA's TPU lowering of a 3-input-channel conv relayouts the input into
+    a C-minor form that pads 3 channels to a full sublane tile — measured
+    2.5 ms fwd + 1.5 ms wgrad + 1.25 ms input copy on v5e
+    (tools/profile_step.py), ~4% MXU efficiency. With 48 folded channels
+    the conv is a well-tiled dense contraction. Exact same math and the
+    SAME param tree: the fold of the weights happens at trace time, and
+    autodiff through the embedding routes gradients back to the original
+    [kt,kh,kw,3,D] parameter. Reference semantics:
+    `MViT/slowfast/models/stem_helper.py` PatchEmbed.
+    """
+    bsz, t, h, wd, c = x.shape
+    (kt, kh, kw), (st, sh, sw), (pt, ph, pw) = kernel, stride, padding
+    dim_out = w.shape[-1]
+    # Fold spatial stride blocks into channels (temporal axis unfolded).
+    assert h % sh == 0 and wd % sw == 0, (x.shape, stride)
+    hf, wf = h // sh, wd // sw
+    xf = x.reshape(bsz, t, hf, sh, wf, sw, c)
+    xf = xf.transpose(0, 1, 2, 4, 3, 5, 6).reshape(bsz, t, hf, wf, sh * sw * c)
+    # Cells each window touches per axis: {0} if kernel <= stride (after
+    # left-padding `pad` rows inside cell -1), else {-1, 0} -> 2 cells.
+    ch_n = 1 if kh + ph <= sh else 2
+    cw_n = 1 if kw + pw <= sw else 2
+    # Embed the weights: original tap (kh') sits at folded cell
+    # (kh' - ph + sh) // sh - (1 if 2 cells else 0) ... compute directly:
+    # input row = sh*oh + kh' - ph; cell = row//sh - oh + (ch_n - 1),
+    # pos = row % sh (row >= -ph > -sh, so add sh before the mod/div).
+    wz = jnp.zeros((kt, ch_n, sh, cw_n, sw, c, dim_out), w.dtype)
+    for khi in range(kh):
+        row = khi - ph + sh  # shifted positive
+        cell_h, pos_h = row // sh - 1 + (ch_n - 1), row % sh
+        for kwi in range(kw):
+            col = kwi - pw + sw
+            cell_w, pos_w = col // sw - 1 + (cw_n - 1), col % sw
+            wz = wz.at[:, cell_h, pos_h, cell_w, pos_w].set(w[:, khi, kwi])
+    wz = wz.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+        kt, ch_n, cw_n, sh * sw * c, dim_out
+    )
+    y = jax.lax.conv_general_dilated(
+        xf.astype(dtype), wz.astype(dtype),
+        window_strides=(st, 1, 1),
+        padding=((pt, pt), (ch_n - 1, 0), (cw_n - 1, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + b.astype(dtype)
+
+
 class _ProjParams(nn.Module):
     """Kernel+bias with nn.Conv's exact param names/shapes/init."""
 
@@ -101,10 +162,28 @@ class PatchEmbed(nn.Module):
     padding: Sequence[int]
     conv_2d: bool = False
     use_s2d: bool = True
+    use_fold: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if (
+            self.use_fold
+            and not self.conv_2d
+            and len(self.kernel) == 3
+            and _fold_applies(self.kernel, self.stride, self.padding)
+            and x.shape[2] % self.stride[1] == 0
+            and x.shape[3] % self.stride[2] == 0
+        ):
+            w, b = _ProjParams(
+                self.dim_out, tuple(self.kernel), x.shape[-1], name="proj"
+            )()
+            x = _fold_patch_conv(
+                x, w, b, tuple(self.kernel), tuple(self.stride),
+                tuple(self.padding), self.dtype,
+            )
+            thw = (x.shape[1], x.shape[2], x.shape[3])
+            return x.reshape(x.shape[0], -1, self.dim_out), thw
         if (
             self.use_s2d
             and not self.conv_2d

@@ -90,6 +90,10 @@ VARIANTS = {
     "diag_skip_attn_branch": lambda c: c,
     "conv_stem": lambda c: _set(c, [("TPU.S2D_STEM", False)]),
     "eval_conv_stem": lambda c: _set(c, [("TPU.S2D_STEM", False)]),
+    "fold_stem": lambda c: _set(c, [("TPU.FOLD_STEM", True)]),
+    "eval_fold_stem": lambda c: _set(c, [("TPU.FOLD_STEM", True)]),
+    "no_fold_stem": lambda c: _set(c, [("TPU.FOLD_STEM", False)]),
+    "no_eqgrad_pool": lambda c: _set(c, [("TPU.EQGRAD_SKIP_POOL", False)]),
     # DIAGNOSTIC (different model: no cls token, mean-pool head): bounds
     # the cost of the cls split/concat copies around every pool.
     "diag_no_cls": lambda c: _set(c, [("MVIT.CLS_EMBED_ON", False)]),
@@ -117,6 +121,7 @@ VARIANTS = {
     "eval_diag_attn_ident": lambda c: c,
     "eval_no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
+    "ncdhw_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "ncdhw")]),
     "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
     "auto_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "auto")]),
     "cvjp_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "custom_vjp")]),

@@ -169,6 +169,12 @@ _C.MVIT.POOL_CONV_IMPL = "xla"
 # the POOL_KV_STRIDE_ADAPTIVE stage-1/2 geometries): project only the token
 # rows the strided conv reads (9/64 at stride 8). Exact; no grouped conv.
 _C.MVIT.SPARSE_KV_POOL = True
+
+# Run the K and V depthwise pool convs (and Q's too when its kernel/stride
+# match) as ONE grouped conv per block, with the K|V projection as one dot on
+# the contiguous weight slice. Exact same math and parameter tree; halves the
+# grouped-conv dispatch count (42 -> 26 convs/step on MViTv2-S 16x4).
+_C.MVIT.MERGED_POOLS = False
 # Attention einsum lowering: "batched" one bhqk einsum over (b, h) |
 # "per_head" head-sliced bqk einsums (no h<->q relayout of q/probs).
 _C.MVIT.ATTN_IMPL = "batched"

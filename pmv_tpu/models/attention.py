@@ -74,12 +74,18 @@ class FusedQKVSplitDots(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, kv=None):
+    def __call__(self, x, kv=None, merge=None):
         """x: [B, N, C] tokens for the Q slice. When ``kv`` is given (the
         sparse-KV-pool path), the K/V slices project ``kv`` — a decimated
         token set [B, M, C] — instead of x; weights are unchanged, so this
         is exactly the reference projection restricted to the tokens the
-        strided pooling conv actually reads."""
+        strided pooling conv actually reads.
+
+        ``merge`` (merged-pool path, MVIT.MERGED_POOLS): "kv" returns
+        ``(q [B,N,H,C], kv [B,N,2,H,C])`` with K|V produced by ONE dot on
+        the contiguous W[:, D:3D] slice; "qkv" returns a single
+        ``[B,N,3,H,C]`` from the undivided dot. Bit-exact: slicing W's
+        columns commutes with the matmul."""
         B, N, in_dim = x.shape
         kernel = self.param(
             "kernel",
@@ -94,6 +100,24 @@ class FusedQKVSplitDots(nn.Module):
         x, kv, kernel, bias = nn.dtypes.promote_dtype(
             x, kv, kernel, bias, dtype=self.dtype
         )
+        if merge == "qkv":
+            assert kv is None
+            y = jnp.dot(x, kernel)
+            if bias is not None:
+                y = y + bias
+            return y.reshape(B, N, 3, self.num_heads, -1)
+        if merge == "kv":
+            assert kv is None
+            D = self.dim_out
+            q = jnp.dot(x, jax.lax.slice_in_dim(kernel, 0, D, axis=1))
+            kvm = jnp.dot(x, jax.lax.slice_in_dim(kernel, D, 3 * D, axis=1))
+            if bias is not None:
+                q = q + jax.lax.slice_in_dim(bias, 0, D, axis=0)
+                kvm = kvm + jax.lax.slice_in_dim(bias, D, 3 * D, axis=0)
+            return (
+                q.reshape(B, N, self.num_heads, -1),
+                kvm.reshape(B, N, 2, self.num_heads, -1),
+            )
         outs = []
         slices = []
         for i, src in enumerate((x, kv, kv) if kv is not None else (x, x, x)):
@@ -626,6 +650,62 @@ class AttentionPool(nn.Module):
         return x, new_thw
 
 
+class PoolParamBank(nn.Module):
+    """Parameters of one AttentionPool (identical tree: ``pool_kernel`` +
+    ``norm``), used by the merged-pool path (MVIT.MERGED_POOLS) which runs
+    several pools as ONE grouped conv. Call with no argument to get the
+    depthwise kernel; call with the pooled tokens to apply the LayerNorm."""
+
+    kernel: Sequence[int]
+    C: int
+    dtype: jnp.dtype = jnp.float32
+    norm_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x=None):
+        w = self.param(
+            "pool_kernel", trunc_normal_init(0.02), tuple(self.kernel) + (1, self.C)
+        )
+        if x is None:
+            return w
+        if _DIAG_SKIP_POOL_LN:
+            return x
+        return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+
+
+def _merged_pool_dw(z_heads, thw, kernel, stride, tiled_list, has_cls, dtype,
+                    pad_lanes):
+    """Pool G tensors sharing (kernel, stride) as ONE grouped conv.
+
+    z_heads: [B, N, G, H, C] (cls row included when has_cls; it bypasses the
+    conv as in AttentionPool). tiled_list: G head-tiled depthwise kernels
+    [kt, kh, kw, 1, H*C]. Returns ([B, N', H, C] per group (pre-LN), new_thw).
+    Identical math to G separate grouped convs: grouped conv is per-channel,
+    and the (g, h, c) channel fold matches the concatenated kernels."""
+    B, N, G, H, C = z_heads.shape
+    T, Hh, Ww = thw
+    if has_cls:
+        cls_tok, body = z_heads[:, :1], z_heads[:, 1:]
+    else:
+        cls_tok, body = None, z_heads
+    z = body.reshape(B, T, Hh, Ww, G * H * C)
+    tiled = jnp.concatenate(tiled_list, axis=-1).astype(dtype)
+    padding = [(k // 2, k // 2) for k in kernel]
+    ghc = G * H * C
+    ghc_pad = -(-ghc // 128) * 128 if pad_lanes else ghc
+    if ghc_pad != ghc:
+        z = jnp.pad(z, ((0, 0),) * 4 + ((0, ghc_pad - ghc),))
+        tiled = jnp.pad(tiled, ((0, 0),) * 3 + ((0, 0), (0, ghc_pad - ghc)))
+    y = _pool_conv(z.astype(dtype), tiled, tuple(stride), padding)
+    if ghc_pad != ghc:
+        y = y[..., :ghc]
+    new_thw = (y.shape[1], y.shape[2], y.shape[3])
+    y = y.reshape(B, -1, G, H, C)
+    if cls_tok is not None:
+        y = jnp.concatenate([cls_tok.astype(y.dtype), y], axis=1)
+    return [y[:, :, g] for g in range(G)], new_thw
+
+
 class MultiScaleAttention(nn.Module):
     """Pooling attention (`attention.py:166-461`), static-shape TPU variant."""
 
@@ -654,6 +734,7 @@ class MultiScaleAttention(nn.Module):
     use_pallas_pools: bool = False  # hand-written depthwise pool kernel
     pool_impl: str = "xla"  # depthwise pool implementation (AttentionPool)
     sparse_kv: bool = True  # decimated K/V projection+pool when stride>=kernel
+    merged_pools: bool = False  # K+V (and Q when same geometry) as ONE conv
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     fused_attn: bool = False  # fused attention+proj half-block kernel
     dtype: jnp.dtype = jnp.float32
@@ -688,12 +769,88 @@ class MultiScaleAttention(nn.Module):
             and int(np.prod(self.stride_kv)) > 1
         )
 
+        # Merged dense pools (MVIT.MERGED_POOLS): K and V pools always share
+        # (kernel, stride), so run them as ONE grouped conv over the
+        # [B, T, H, W, 2*heads*C] fold — and fold Q in too when its geometry
+        # matches (stage transitions and stride-1 stage-4 blocks). Halves the
+        # grouped-conv dispatch count; exact same math and param tree
+        # (reference pools are independent per-channel convs,
+        # `attention.py:13-49`).
+        def _pool_identity(kern, strd):
+            return len(kern) == 0 or (
+                int(np.prod(kern)) == 1 and int(np.prod(strd)) == 1
+            )
+
+        use_merged_kv = (
+            self.merged_pools
+            and self.mode == "conv"
+            and not self.pool_first
+            and not self.separate_qkv
+            and not use_sparse_kv
+            and not self.use_pallas_pools
+            and self.pool_impl in ("xla", "auto")
+            and len(self.kernel_kv) > 0
+            and not _pool_identity(self.kernel_kv, self.stride_kv)
+        )
+        merge_q = (
+            use_merged_kv
+            and len(self.kernel_q) > 0
+            and not _pool_identity(self.kernel_q, self.stride_q)
+            and tuple(self.kernel_q) == tuple(self.kernel_kv)
+            and tuple(self.stride_q) == tuple(self.stride_kv)
+        )
+
         # Tokens-major [B, N, heads, C] layout end-to-end: head split,
         # pool grids, and the final merge are all pure reshapes; the only
         # data movement XLA must schedule is inside the attention einsums.
         kv_grid = None
         bias_k = bias_v = None
-        if self.pool_first:
+        if use_merged_kv:
+            pad_lanes = deterministic and jax.default_backend() == "tpu"
+            head_dim_c = self.dim_out // self.num_heads
+            bank_k = PoolParamBank(
+                kernel=self.kernel_kv, C=head_dim_c, dtype=self.dtype,
+                name="pool_k",
+            )
+            bank_v = PoolParamBank(
+                kernel=self.kernel_kv, C=head_dim_c, dtype=self.dtype,
+                name="pool_v",
+            )
+            tile_h = lambda w: jnp.tile(w, (1, 1, 1, 1, self.num_heads))
+            qkv_mod = FusedQKVSplitDots(
+                dim_out=self.dim_out, num_heads=self.num_heads,
+                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
+            )
+            if merge_q:
+                qkv_m = qkv_mod(x, merge="qkv")  # [B, N, 3, H, C]
+                bank_q = PoolParamBank(
+                    kernel=self.kernel_q, C=head_dim_c, dtype=self.dtype,
+                    name="pool_q",
+                )
+                parts, new_thw = _merged_pool_dw(
+                    qkv_m, thw_shape, self.kernel_kv, self.stride_kv,
+                    [tile_h(bank_q()), tile_h(bank_k()), tile_h(bank_v())],
+                    self.has_cls_embed, self.dtype, pad_lanes,
+                )
+                q, k, v = bank_q(parts[0]), bank_k(parts[1]), bank_v(parts[2])
+                q_shape = k_shape = new_thw
+            else:
+                q, kvm = qkv_mod(x, merge="kv")  # q + [B, N, 2, H, C]
+                q, q_shape = AttentionPool(
+                    kernel=self.kernel_q, stride=self.stride_q,
+                    mode=self.mode, has_cls_embed=self.has_cls_embed,
+                    pad_lanes=pad_lanes,
+                    use_pallas_pools=self.use_pallas_pools,
+                    pool_impl=self.pool_impl,
+                    dtype=self.dtype, name="pool_q",
+                )(q, thw_shape)
+                parts, k_shape = _merged_pool_dw(
+                    kvm, thw_shape, self.kernel_kv, self.stride_kv,
+                    [tile_h(bank_k()), tile_h(bank_v())],
+                    self.has_cls_embed, self.dtype, pad_lanes,
+                )
+                k, v = bank_k(parts[0]), bank_v(parts[1])
+        elif self.pool_first:
             fold = self.num_heads
             q = k = v = x.reshape(B, N, fold, -1)
         elif self.separate_qkv:
@@ -718,29 +875,30 @@ class MultiScaleAttention(nn.Module):
                 use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
             )(x)
 
-        # Lane padding is exact but only gradient-safe in eval graphs.
-        pad_lanes = deterministic and jax.default_backend() == "tpu"
-        q, q_shape = AttentionPool(
-            kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
-            use_pallas_pools=self.use_pallas_pools,
-            pool_impl=self.pool_impl,
-            dtype=self.dtype, name="pool_q",
-        )(q, thw_shape)
-        k, k_shape = AttentionPool(
-            kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
-            use_pallas_pools=self.use_pallas_pools,
-            pool_impl=self.pool_impl,
-            dtype=self.dtype, name="pool_k",
-        )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
-        v, v_shape = AttentionPool(
-            kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
-            use_pallas_pools=self.use_pallas_pools,
-            pool_impl=self.pool_impl,
-            dtype=self.dtype, name="pool_v",
-        )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
+        if not use_merged_kv:
+            # Lane padding is exact but only gradient-safe in eval graphs.
+            pad_lanes = deterministic and jax.default_backend() == "tpu"
+            q, q_shape = AttentionPool(
+                kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
+                has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+                use_pallas_pools=self.use_pallas_pools,
+                pool_impl=self.pool_impl,
+                dtype=self.dtype, name="pool_q",
+            )(q, thw_shape)
+            k, k_shape = AttentionPool(
+                kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
+                has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+                use_pallas_pools=self.use_pallas_pools,
+                pool_impl=self.pool_impl,
+                dtype=self.dtype, name="pool_k",
+            )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
+            v, v_shape = AttentionPool(
+                kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
+                has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+                use_pallas_pools=self.use_pallas_pools,
+                pool_impl=self.pool_impl,
+                dtype=self.dtype, name="pool_v",
+            )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
 
         if self.pool_first:
             def refold(t, t_shape, name):
@@ -1023,6 +1181,7 @@ class MultiScaleBlock(nn.Module):
     use_pallas_pools: bool = False
     pool_impl: str = "xla"
     sparse_kv: bool = True
+    merged_pools: bool = False
     fused_mlp: bool = False
     fused_attn: bool = False
     attn_impl: str = "batched"
@@ -1073,6 +1232,7 @@ class MultiScaleBlock(nn.Module):
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             sparse_kv=self.sparse_kv,
+            merged_pools=self.merged_pools,
             attn_impl=self.attn_impl,
             fused_attn=self.fused_attn,
             dtype=self.dtype,

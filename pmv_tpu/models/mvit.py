@@ -311,6 +311,7 @@ class MViT(nn.Module):
                 use_pallas_pools=cfg.MVIT.USE_PALLAS_POOLS,
                 pool_impl=cfg.MVIT.POOL_CONV_IMPL,
                 sparse_kv=cfg.MVIT.SPARSE_KV_POOL,
+                merged_pools=cfg.MVIT.MERGED_POOLS,
                 fused_mlp=cfg.TPU.FUSED_MLP,
                 fused_attn=cfg.TPU.FUSED_ATTN,
                 attn_impl=cfg.MVIT.ATTN_IMPL,

@@ -66,6 +66,8 @@ VARIANTS = {
     "rbg_aug_bf16": lambda c: _set(
         c, [("TPU.PRNG_IMPL", "rbg"), ("TPU.PREPROCESS_DTYPE", "bfloat16")]
     ),
+    "merged_pools": lambda c: _set(c, [("MVIT.MERGED_POOLS", True)]),
+    "eval_merged_pools": lambda c: _set(c, [("MVIT.MERGED_POOLS", True)]),
     "remat": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "remat_bs16": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "remat_bs32": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),

@@ -175,6 +175,12 @@ _C.MVIT.SPARSE_KV_POOL = True
 # the contiguous weight slice. Exact same math and parameter tree; halves the
 # grouped-conv dispatch count (42 -> 26 convs/step on MViTv2-S 16x4).
 _C.MVIT.MERGED_POOLS = False
+
+# Keep q/k/v in the flat [B, N, heads*C] layout through the pools (per-head
+# 4-d form created once at the attention einsums); the pool-boundary
+# [B,N,H,C] <-> grid reshapes are physical relayout copies on TPU. Exact same
+# math and parameter tree (pool LayerNorm computed per C-block, FlatGroupLN).
+_C.MVIT.FLAT_POOLS = False
 # Attention einsum lowering: "batched" one bhqk einsum over (b, h) |
 # "per_head" head-sliced bqk einsums (no h<->q relayout of q/probs).
 _C.MVIT.ATTN_IMPL = "batched"

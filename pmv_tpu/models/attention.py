@@ -74,7 +74,7 @@ class FusedQKVSplitDots(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, kv=None, merge=None):
+    def __call__(self, x, kv=None, merge=None, flat=False):
         """x: [B, N, C] tokens for the Q slice. When ``kv`` is given (the
         sparse-KV-pool path), the K/V slices project ``kv`` — a decimated
         token set [B, M, C] — instead of x; weights are unchanged, so this
@@ -132,7 +132,9 @@ class FusedQKVSplitDots(nn.Module):
                 )
                 y = y + b_i
             slices.append(b_i)
-            outs.append(y.reshape(B, src.shape[1], self.num_heads, -1))
+            outs.append(
+                y if flat else y.reshape(B, src.shape[1], self.num_heads, -1)
+            )
         if kv is not None:
             # Sparse-KV callers need the K/V bias slices to correct the
             # padding-tap bias leak after pooling (AttentionPool).
@@ -374,11 +376,47 @@ def _pool_conv(x, w, stride, padding):
     )
 
 
+class FlatGroupLN(nn.Module):
+    """Per-head LayerNorm on the FLAT [B, N, heads*C] layout.
+
+    Same params (scale/bias of shape (C,), shared across heads — matching
+    ``nn.LayerNorm`` applied to [B, N, H, C]) and same math (use_fast_variance
+    E[x^2]-E[x]^2 in f32), but the per-C-block statistics are computed with
+    two tiny 0/1 averaging matmuls instead of reshaping the tensor to 4-d —
+    the [B,N,H,C] <-> [B,N,H*C] reshapes around pool LNs are physical
+    relayout copies on TPU (tools/profile_step.py)."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, HC = x.shape
+        H = self.heads
+        C = HC // H
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        m = np.kron(np.eye(H), np.ones((C, 1), np.float32) / C)  # [HC, H]
+        mj = jnp.asarray(m, jnp.float32)
+        mt = jnp.asarray((m > 0).T.astype(np.float32))  # [H, HC] 0/1
+        xf = x.astype(jnp.float32)
+        mean = xf @ mj  # [B, N, H]
+        var = (xf * xf) @ mj - mean * mean
+        mean_f = mean @ mt  # [B, N, HC]
+        inv_f = jax.lax.rsqrt(var + self.epsilon) @ mt
+        scale_t = jnp.tile(scale.astype(jnp.float32), H)
+        bias_t = jnp.tile(bias.astype(jnp.float32), H)
+        return ((xf - mean_f) * inv_f * scale_t + bias_t).astype(self.dtype)
+
+
 class AttentionPool(nn.Module):
     """Pool the token grid of Q/K/V (`attention.py:13-49` attention_pool).
 
     mode 'conv': depthwise conv + LayerNorm; 'max'/'avg': pooling, no norm.
     Input [B, heads, N, C]; cls token (if any) bypasses pooling.
+    With ``flat=True`` the input/output are [B, N, heads*C] (heads folded
+    into lanes); math and param tree are unchanged.
     """
 
     kernel: Sequence[int]
@@ -388,6 +426,8 @@ class AttentionPool(nn.Module):
     pad_lanes: bool = False  # 128-lane channel padding (eval graphs only)
     use_pallas_pools: bool = False  # hand-written depthwise kernel on TPU
     pool_impl: str = "xla"  # xla | shift | custom_vjp | pallas (TPU only)
+    flat: bool = False  # tokens stay [B, N, heads*C]; no 4-d per-head form
+    heads: int = 1  # only read when flat (kernel tiling + LN groups)
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
 
@@ -411,7 +451,25 @@ class AttentionPool(nn.Module):
         grid instead of a full-grid grouped conv. Exact same math."""
         if self.is_identity():
             return x, tuple(thw_shape)
-        B, N, H, C = x.shape
+        if self.flat:
+            B, N, HC_in = x.shape
+            H = self.heads
+            C = HC_in // H
+        else:
+            B, N, H, C = x.shape
+
+        def _ln(t):
+            if _DIAG_SKIP_POOL_LN:
+                return t
+            if self.flat:
+                return FlatGroupLN(
+                    heads=H, dtype=self.dtype, epsilon=self.norm_eps,
+                    name="norm",
+                )(t)
+            return nn.LayerNorm(
+                epsilon=self.norm_eps, dtype=self.dtype, name="norm"
+            )(t)
+
         if sparse_grid is not None:
             assert self.mode == "conv"
             kt, kh, kw = self.kernel
@@ -484,13 +542,12 @@ class AttentionPool(nn.Module):
                         tiled,
                     )  # [T_out, Ph, Pw, HC]
                     acc = acc - proj_bias.astype(self.dtype) * kinv[None]
-            x = acc.astype(self.dtype).reshape(B, -1, H, C)
+            x = acc.astype(self.dtype).reshape(
+                (B, -1, H * C) if self.flat else (B, -1, H, C)
+            )
             if self.has_cls_embed:
                 x = jnp.concatenate([cls_tok.astype(self.dtype), x], axis=1)
-            if not _DIAG_SKIP_POOL_LN:
-                x = nn.LayerNorm(
-                    epsilon=self.norm_eps, dtype=self.dtype, name="norm"
-                )(x)
+            x = _ln(x)
             return x, (T_out, Ph, Pw)
         T, Hh, Ww = thw_shape
         if (
@@ -498,6 +555,7 @@ class AttentionPool(nn.Module):
             and self.pool_impl == "token_shift"
             and all(s == 1 for s in self.stride)
             and not self.use_pallas_pools
+            and not self.flat
         ):
             # Stride-1 pools in the flat tokens-major layout: masked
             # shifted FMAs instead of cls-split + grid reshape + grouped
@@ -630,7 +688,7 @@ class AttentionPool(nn.Module):
                 if hc_pad != hc:
                     x = x[..., :hc]
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
-            x = x.reshape(B, -1, H, C)
+            x = x.reshape((B, -1, H * C) if self.flat else (B, -1, H, C))
         else:
             # Pooling is per-channel, so the folded H*C grid works for
             # max/avg too — same free reshape as the conv path.
@@ -642,11 +700,11 @@ class AttentionPool(nn.Module):
             else:
                 raise NotImplementedError(f"Unsupported pool mode {self.mode}")
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
-            x = x.reshape(B, -1, H, C)
+            x = x.reshape((B, -1, H * C) if self.flat else (B, -1, H, C))
         if self.has_cls_embed:
             x = jnp.concatenate([cls_tok, x], axis=1)
-        if self.mode == "conv" and not _DIAG_SKIP_POOL_LN:
-            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+        if self.mode == "conv":
+            x = _ln(x)
         return x, new_thw
 
 
@@ -735,6 +793,7 @@ class MultiScaleAttention(nn.Module):
     pool_impl: str = "xla"  # depthwise pool implementation (AttentionPool)
     sparse_kv: bool = True  # decimated K/V projection+pool when stride>=kernel
     merged_pools: bool = False  # K+V (and Q when same geometry) as ONE conv
+    flat_pools: bool = False  # q/k/v stay [B, N, H*C] through the pools
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     fused_attn: bool = False  # fused attention+proj half-block kernel
     dtype: jnp.dtype = jnp.float32
@@ -798,6 +857,23 @@ class MultiScaleAttention(nn.Module):
             and not _pool_identity(self.kernel_q, self.stride_q)
             and tuple(self.kernel_q) == tuple(self.kernel_kv)
             and tuple(self.stride_q) == tuple(self.stride_kv)
+        )
+
+        # Flat-pool layout (MVIT.FLAT_POOLS): q/k/v keep the projection's
+        # [B, N, heads*C] shape through the pools; the per-head 4-d form is
+        # created ONCE at the einsum boundary. The 4-d<->grid reshapes at
+        # every pool are physical relayout copies on TPU (~9 ms/step,
+        # tools/profile_step.py); the flat grid fold [B,N,HC]->[B,T,H,W,HC]
+        # is tiling-compatible. Exact same math and param tree (pool LN runs
+        # per C-block via FlatGroupLN).
+        use_flat = (
+            self.flat_pools
+            and not self.pool_first
+            and not self.separate_qkv
+            and self.mode == "conv"
+            and self.pool_impl in ("xla", "auto")
+            and not self.use_pallas_pools
+            and not use_merged_kv
         )
 
         # Tokens-major [B, N, heads, C] layout end-to-end: head split,
@@ -868,12 +944,12 @@ class MultiScaleAttention(nn.Module):
             q, k, v, (bias_k, bias_v) = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
                 use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
-            )(x, kv=kv_tokens)
+            )(x, kv=kv_tokens, flat=use_flat)
         else:
             q, k, v = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
                 use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
-            )(x)
+            )(x, flat=use_flat)
 
         if not use_merged_kv:
             # Lane padding is exact but only gradient-safe in eval graphs.
@@ -883,6 +959,7 @@ class MultiScaleAttention(nn.Module):
                 has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
                 use_pallas_pools=self.use_pallas_pools,
                 pool_impl=self.pool_impl,
+                flat=use_flat, heads=self.num_heads,
                 dtype=self.dtype, name="pool_q",
             )(q, thw_shape)
             k, k_shape = AttentionPool(
@@ -890,6 +967,7 @@ class MultiScaleAttention(nn.Module):
                 has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
                 use_pallas_pools=self.use_pallas_pools,
                 pool_impl=self.pool_impl,
+                flat=use_flat, heads=self.num_heads,
                 dtype=self.dtype, name="pool_k",
             )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
             v, v_shape = AttentionPool(
@@ -897,8 +975,14 @@ class MultiScaleAttention(nn.Module):
                 has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
                 use_pallas_pools=self.use_pallas_pools,
                 pool_impl=self.pool_impl,
+                flat=use_flat, heads=self.num_heads,
                 dtype=self.dtype, name="pool_v",
             )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
+            if use_flat:
+                # One per-head unfold per tensor, at the einsum boundary.
+                q = q.reshape(B, q.shape[1], self.num_heads, head_dim)
+                k = k.reshape(B, k.shape[1], self.num_heads, head_dim)
+                v = v.reshape(B, v.shape[1], self.num_heads, head_dim)
 
         if self.pool_first:
             def refold(t, t_shape, name):
@@ -1182,6 +1266,7 @@ class MultiScaleBlock(nn.Module):
     pool_impl: str = "xla"
     sparse_kv: bool = True
     merged_pools: bool = False
+    flat_pools: bool = False
     fused_mlp: bool = False
     fused_attn: bool = False
     attn_impl: str = "batched"
@@ -1233,6 +1318,7 @@ class MultiScaleBlock(nn.Module):
             pool_impl=self.pool_impl,
             sparse_kv=self.sparse_kv,
             merged_pools=self.merged_pools,
+            flat_pools=self.flat_pools,
             attn_impl=self.attn_impl,
             fused_attn=self.fused_attn,
             dtype=self.dtype,

@@ -312,6 +312,7 @@ class MViT(nn.Module):
                 pool_impl=cfg.MVIT.POOL_CONV_IMPL,
                 sparse_kv=cfg.MVIT.SPARSE_KV_POOL,
                 merged_pools=cfg.MVIT.MERGED_POOLS,
+                flat_pools=cfg.MVIT.FLAT_POOLS,
                 fused_mlp=cfg.TPU.FUSED_MLP,
                 fused_attn=cfg.TPU.FUSED_ATTN,
                 attn_impl=cfg.MVIT.ATTN_IMPL,

@@ -68,6 +68,8 @@ VARIANTS = {
     ),
     "merged_pools": lambda c: _set(c, [("MVIT.MERGED_POOLS", True)]),
     "eval_merged_pools": lambda c: _set(c, [("MVIT.MERGED_POOLS", True)]),
+    "flat_pools": lambda c: _set(c, [("MVIT.FLAT_POOLS", True)]),
+    "eval_flat_pools": lambda c: _set(c, [("MVIT.FLAT_POOLS", True)]),
     "remat": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "remat_bs16": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
     "remat_bs32": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),

@@ -636,6 +636,16 @@ _C.TPU.FOLD_STEM = True
 # Fused attention half-block Pallas kernel (scores+softmax+@v+residual-
 # pooling+proj in one VMEM pass, flash recompute backward).
 _C.TPU.FUSED_ATTN = False
+# Q-tiled (chunked) attention inside XLA: the scores/softmax/@V chain runs
+# per q-chunk of this many rows, so no [Nq, Nk] probs buffer is ever
+# materialized whole (block1 at bs 8 is 315 MB fwd+bwd). 0 = off. Applies
+# to blocks whose Nq exceeds the chunk; exact same math (softmax rows are
+# independent). See chunked_attention() in models/attention.py.
+_C.TPU.ATTN_Q_CHUNK = 0
+# Recompute each chunk's probs in the backward (jax.checkpoint around the
+# chunk body) instead of storing them fwd->bwd. Required for the large-
+# batch memory win; turn off to measure store-vs-recompute.
+_C.TPU.ATTN_CHUNK_REMAT = True
 # Dtype for the fused on-device augmentation chain (RandAugment, erasing,
 # color jitter, normalize). The model casts to COMPUTE_DTYPE right after
 # preprocessing anyway, so "bfloat16" here only adds sub-quantization noise

@@ -62,14 +62,34 @@ class Kinetics:
         self._path_to_videos = []
         self._labels = []
         self._spatial_temporal_idx = []
+        # Chunked CSV loading (`kinetics.py:76-80,126-128,167-179`): train
+        # mode reads only LOADER_CHUNK_SIZE rows starting at DATA.SKIP_ROWS
+        # (the engine advances SKIP_ROWS and rebuilds the loader each epoch,
+        # `train_net.py:675-686`), so giant split files never sit in RAM.
+        self.skip_rows = cfg.DATA.SKIP_ROWS
+        self.use_chunk_loading = (
+            self.mode == "train" and cfg.DATA.LOADER_CHUNK_SIZE > 0
+        )
         with open(path_to_file, "r") as f:
-            for clip_idx, line in enumerate(f):
+            if self.use_chunk_loading:
+                rows = self._get_chunk(f, cfg.DATA.LOADER_CHUNK_SIZE)
+            else:
+                rows = (line for line in f)
+            for clip_idx, line in enumerate(rows):
                 line = line.strip()
                 if not line:
                     continue
                 parts = line.split(cfg.DATA.PATH_LABEL_SEPARATOR)
-                assert len(parts) == 2, f"bad row: {line}"
-                path, label = parts
+                # 2 fields = path,label; 3 = path,fn,label; 1 = path only
+                # (`kinetics.py:130-145`).
+                if len(parts) == 2:
+                    path, label = parts
+                elif len(parts) == 3:
+                    path, _, label = parts
+                elif len(parts) == 1:
+                    path, label = parts[0], 0
+                else:
+                    raise RuntimeError(f"bad row: {line}")
                 for idx in range(self._num_clips):
                     self._path_to_videos.append(
                         os.path.join(cfg.DATA.PATH_PREFIX, path)
@@ -81,6 +101,26 @@ class Kinetics:
             "Constructed kinetics dataset (size %d) from %s",
             len(self._path_to_videos), path_to_file,
         )
+
+    def _get_chunk(self, f, chunksize):
+        """First ``chunksize`` rows after ``self.skip_rows`` (stdlib stand-in
+        for the reference's pandas chunked read, `kinetics.py:167-179`);
+        wraps to the file start when the skip runs past EOF."""
+        rows = []
+        for i, line in enumerate(f):
+            if i < self.skip_rows:
+                continue
+            rows.append(line)
+            if len(rows) >= chunksize:
+                break
+        if not rows:
+            self.skip_rows = 0
+            f.seek(0)
+            return self._get_chunk(f, chunksize)
+        return rows
+
+    def _set_epoch_num(self, epoch):
+        self.epoch = epoch
 
     def __len__(self):
         return len(self._path_to_videos)
@@ -94,7 +134,10 @@ class Kinetics:
         cfg = self.cfg
         if self.mode in ["train", "val"]:
             temporal_idx = -1
-            spatial_idx = -1
+            # -1 = random; the reference honors TRAIN.SPATIAL_SAMPLE_INDEX
+            # in train/val mode (`kinetics.py:208`) for deterministic
+            # spatial positioning experiments.
+            spatial_idx = cfg.TRAIN.SPATIAL_SAMPLE_INDEX
             min_scale = cfg.DATA.TRAIN_JITTER_SCALES[0]
             max_scale = cfg.DATA.TRAIN_JITTER_SCALES[1]
             crop_size = cfg.DATA.TRAIN_CROP_SIZE

@@ -12,6 +12,7 @@ params); the released PMV recipes keep SWITCH_AUTO off so the common path
 compiles exactly one program.
 """
 
+import math
 import pprint
 
 import jax
@@ -265,6 +266,20 @@ def train(cfg):
 
     logger.info("Start epoch: %d", start_epoch + 1)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if cur_epoch > 0 and cfg.DATA.LOADER_CHUNK_SIZE > 0:
+            # Chunked-CSV epoch advance (`train_net.py:675-686`): each epoch
+            # trains on the next LOADER_CHUNK_SIZE-row slice of the split
+            # file, cycling through LOADER_CHUNK_OVERALL_SIZE rows.
+            num_chunks = math.ceil(
+                cfg.DATA.LOADER_CHUNK_OVERALL_SIZE
+                / cfg.DATA.LOADER_CHUNK_SIZE
+            )
+            cfg.DATA.SKIP_ROWS = (
+                cur_epoch % num_chunks * cfg.DATA.LOADER_CHUNK_SIZE
+            )
+            logger.info("chunked loader: skip_rows %d", cfg.DATA.SKIP_ROWS)
+            train_loader = loader_mod.construct_loader(cfg, "train")
+            train_meter = meters_mod.TrainMeter(len(train_loader), cfg)
         if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
             cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
             if changed:

@@ -142,6 +142,39 @@ class FusedQKVSplitDots(nn.Module):
         return outs
 
 
+def chunked_attention(q_ext, k_ext, v, chunk, remat=True):
+    """Q-tiled attention: per q-chunk scores -> softmax -> @V.
+
+    Same math as the single extended matmul (softmax rows are independent),
+    but the [Nq, Nk] probs tensor is never materialized whole: the largest
+    live buffer is [B, H, chunk, Nk]. With ``remat`` each chunk's probs are
+    recomputed in the backward instead of being stored fwd->bwd, which
+    removes the stage-1/2 probs buffers (315 MB at block1, bs 8) from the
+    residual set — the buffer that broke bs-64 compiles (int32 element
+    limit) and the single largest HBM-traffic item in the per-op profile.
+
+    Chunks are an unrolled Python loop over static slices (not lax.scan):
+    slices along the token axis need no relayout of q_ext, the ragged tail
+    chunk needs no padding, and XLA can software-pipeline chunk i+1's QK^T
+    against chunk i's @V.
+    """
+
+    def body(qc, ke, vv):
+        s = jnp.einsum("bqhc,bkhc->bhqk", qc, ke)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhc->bqhc", p, vv)
+
+    f = jax.checkpoint(body) if remat else body
+    nq = q_ext.shape[1]
+    outs = []
+    for i in range(0, nq, chunk):
+        qc = jax.lax.slice_in_dim(q_ext, i, min(i + chunk, nq), axis=1)
+        outs.append(f(qc, k_ext, v))
+    if len(outs) == 1:
+        return outs[0]
+    return jnp.concatenate(outs, axis=1)
+
+
 def interpolate_rel_pos(rel_pos, d):
     """Linear-resize a [L, C] rel-pos table to [d, C].
 
@@ -384,7 +417,13 @@ class FlatGroupLN(nn.Module):
     E[x^2]-E[x]^2 in f32), but the per-C-block statistics are computed with
     two tiny 0/1 averaging matmuls instead of reshaping the tensor to 4-d —
     the [B,N,H,C] <-> [B,N,H*C] reshapes around pool LNs are physical
-    relayout copies on TPU (tools/profile_step.py)."""
+    relayout copies on TPU (tools/profile_step.py).
+
+    Dtype note: the affine is applied in f32 with ONE rounding at the end;
+    ``nn.LayerNorm(dtype=bf16)`` rounds before its bf16 affine, so bit-
+    exactness with the 4-d form holds in f32 compute only — under bf16 the
+    match is tolerance-level (~1 ulp), which the recipe treats as within
+    the normal bf16 noise floor (ADVICE r2)."""
 
     heads: int
     dtype: jnp.dtype = jnp.float32
@@ -454,6 +493,12 @@ class AttentionPool(nn.Module):
         if self.flat:
             B, N, HC_in = x.shape
             H = self.heads
+            # flat callers MUST pass the true head count: with the default
+            # heads=1 the pool_kernel silently becomes (k.., 1, H*C) and the
+            # param tree no longer matches checkpoints (ADVICE r2).
+            assert H >= 1 and HC_in % H == 0, (
+                f"flat AttentionPool needs heads dividing {HC_in}, got {H}"
+            )
             C = HC_in // H
         else:
             B, N, H, C = x.shape
@@ -796,6 +841,8 @@ class MultiScaleAttention(nn.Module):
     flat_pools: bool = False  # q/k/v stay [B, N, H*C] through the pools
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     fused_attn: bool = False  # fused attention+proj half-block kernel
+    attn_q_chunk: int = 0  # q-tiled attention chunk rows (0 = off)
+    attn_chunk_remat: bool = True  # recompute chunk probs in backward
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -909,7 +956,7 @@ class MultiScaleAttention(nn.Module):
                     self.has_cls_embed, self.dtype, pad_lanes,
                 )
                 q, k, v = bank_q(parts[0]), bank_k(parts[1]), bank_v(parts[2])
-                q_shape = k_shape = new_thw
+                q_shape = k_shape = v_shape = new_thw
             else:
                 q, kvm = qkv_mod(x, merge="kv")  # q + [B, N, 2, H, C]
                 q, q_shape = AttentionPool(
@@ -926,6 +973,7 @@ class MultiScaleAttention(nn.Module):
                     self.has_cls_embed, self.dtype, pad_lanes,
                 )
                 k, v = bank_k(parts[0]), bank_v(parts[1])
+                v_shape = k_shape
         elif self.pool_first:
             fold = self.num_heads
             q = k = v = x.reshape(B, N, fold, -1)
@@ -1178,7 +1226,16 @@ class MultiScaleAttention(nn.Module):
                 (B, nk, self.num_heads, E.shape[0]),
             )
             k_ext = jnp.concatenate([k, e_bh], axis=-1)
-            if self.attn_impl == "per_head" and self.num_heads > 1:
+            if (
+                self.attn_q_chunk > 0
+                and q.shape[1] > self.attn_q_chunk
+                and self.attn_impl != "per_head"
+            ):
+                x = chunked_attention(
+                    q_ext, k_ext, v, self.attn_q_chunk,
+                    remat=self.attn_chunk_remat,
+                )
+            elif self.attn_impl == "per_head" and self.num_heads > 1:
                 # Head-sliced einsums: every dot has batch dim b only, so
                 # q/k/v and the probs keep their natural layouts (the
                 # batched bqhc,bkhc->bhqk form makes XLA relayout the big
@@ -1204,6 +1261,15 @@ class MultiScaleAttention(nn.Module):
                 p = jax.nn.softmax(s, axis=-1)
                 outs.append(jnp.einsum("bqk,bkc->bqc", p, v[:, :, hd]))
             x = jnp.stack(outs, axis=2)
+        elif (
+            self.attn_q_chunk > 0
+            and q.shape[1] > self.attn_q_chunk
+            and not self.rel_pos_temporal
+        ):
+            x = chunked_attention(
+                q * scale, k, v, self.attn_q_chunk,
+                remat=self.attn_chunk_remat,
+            )
         else:
             attn = jnp.einsum("bqhc,bkhc->bhqk", q * scale, k)
             if self.rel_pos_temporal:
@@ -1270,6 +1336,8 @@ class MultiScaleBlock(nn.Module):
     fused_mlp: bool = False
     fused_attn: bool = False
     attn_impl: str = "batched"
+    attn_q_chunk: int = 0
+    attn_chunk_remat: bool = True
     eqgrad_skip_pool: bool = False
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
@@ -1321,6 +1389,8 @@ class MultiScaleBlock(nn.Module):
             flat_pools=self.flat_pools,
             attn_impl=self.attn_impl,
             fused_attn=self.fused_attn,
+            attn_q_chunk=self.attn_q_chunk,
+            attn_chunk_remat=self.attn_chunk_remat,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

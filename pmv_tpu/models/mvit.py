@@ -316,6 +316,8 @@ class MViT(nn.Module):
                 fused_mlp=cfg.TPU.FUSED_MLP,
                 fused_attn=cfg.TPU.FUSED_ATTN,
                 attn_impl=cfg.MVIT.ATTN_IMPL,
+                attn_q_chunk=cfg.TPU.ATTN_Q_CHUNK,
+                attn_chunk_remat=cfg.TPU.ATTN_CHUNK_REMAT,
                 eqgrad_skip_pool=cfg.TPU.EQGRAD_SKIP_POOL,
                 dtype=self.dtype,
                 name=f"blocks.{i}",

@@ -55,6 +55,9 @@ def log_model_info(state, cfg, model=None, example_batch=None):
                 "Flops: %.2f G / clip (XLA fwd; ~2x MAC-counted fvcore)",
                 f / 1e9,
             )
+        a = eval_activations_per_clip(state, cfg, model, example_batch)
+        if a > 0:
+            logger.info("Activations: %.2f M / clip", a / 1e6)
 
 
 def eval_flops_per_clip(state, cfg, model, example_batch):
@@ -69,6 +72,20 @@ def eval_flops_per_clip(state, cfg, model, example_batch):
     if f <= 0:
         return f
     return f / frames.shape[0]
+
+
+def eval_activations_per_clip(state, cfg, model, example_batch):
+    """Activation count per clip of the eval forward (fvcore-equivalent)."""
+    import jax.numpy as jnp
+
+    from pmv_tpu.engine import steps as steps_mod
+
+    frames = jnp.asarray(example_batch["frames"])
+    eval_step = steps_mod.make_eval_step(cfg, model)
+    a = activations_count(eval_step, state, frames)
+    if a <= 0:
+        return a
+    return a / frames.shape[0]
 
 
 def is_eval_epoch(cfg, cur_epoch, multigrid_schedule=None):
@@ -87,6 +104,43 @@ def is_eval_epoch(cfg, cur_epoch, multigrid_schedule=None):
                 return (s[-1] - 1 - cur_epoch) % period == 0
             prev_epoch = s[-1]
     return (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0
+
+
+def activations_count(fn, *args):
+    """Activation count of a callable: total output elements of matmul /
+    conv ops, matching fvcore's activation_count definition (conv + gemm
+    output numel, reported in mega by the caller; reference
+    `misc.py:166-226` via `fvcore.nn.activation_count`). Counted on the
+    jaxpr, so it is backend-independent and exact for the traced shapes.
+    """
+    import jax
+    import numpy as _np
+
+    _PRIMS = {"dot_general", "conv_general_dilated"}
+
+    def walk(jaxpr):
+        total = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name in _PRIMS:
+                for ov in eqn.outvars:
+                    total += int(_np.prod(ov.aval.shape))
+            for v in eqn.params.values():
+                # recurse into call/scan/cond/remat sub-jaxprs
+                vals = v if isinstance(v, (list, tuple)) else [v]
+                for item in vals:
+                    inner = getattr(item, "jaxpr", None)
+                    if inner is not None:
+                        total += walk(inner)
+                    elif hasattr(item, "eqns"):
+                        total += walk(item)
+        return total
+
+    try:
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        return walk(jaxpr.jaxpr)
+    except Exception as e:
+        logger.warning("activations_count failed: %s", e)
+        return -1
 
 
 def flops_count(fn, *args):

@@ -210,3 +210,63 @@ def test_kinetics_fps_jitter_and_long_cycle_rate(pmv_csv_dataset):
     ds = build_dataset("kinetics", cfg, "train")
     s = ds[0]
     assert s["frames"].shape == (4, 64, 64, 3)
+
+
+def test_kinetics_chunked_csv_loading(pmv_csv_dataset):
+    """DATA.LOADER_CHUNK_SIZE: train mode reads only the chunk's rows
+    starting at SKIP_ROWS and wraps past EOF (`kinetics.py:76-80,167-179`)."""
+    root, vids = pmv_csv_dataset
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.PATH_PREFIX = str(vids)
+    cfg.DATA.PM_SUBSET = "_pmv400"
+    cfg.DATA.PATH_LABEL_SEPARATOR = ","
+    cfg.DATA.LOADER_CHUNK_SIZE = 2
+    cfg.DATA.LOADER_CHUNK_OVERALL_SIZE = 4
+
+    ds = build_dataset("kinetics", cfg, "train")
+    assert len(ds) == 2
+    assert ds._path_to_videos[0].endswith("v0.avi")
+
+    cfg.DATA.SKIP_ROWS = 2
+    ds2 = build_dataset("kinetics", cfg, "train")
+    assert len(ds2) == 2
+    assert ds2._path_to_videos[0].endswith("v2.avi")
+
+    # Past EOF: wraps back to the file start.
+    cfg.DATA.SKIP_ROWS = 99
+    ds3 = build_dataset("kinetics", cfg, "train")
+    assert ds3._path_to_videos[0].endswith("v0.avi")
+
+    # val/test modes ignore chunking.
+    cfg.DATA.SKIP_ROWS = 0
+    ds_test = build_dataset("kinetics", cfg, "test")
+    assert len(ds_test) == 4 * cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+
+
+def test_train_spatial_sample_index(pmv_csv_dataset):
+    """TRAIN.SPATIAL_SAMPLE_INDEX pins the train crop position
+    (`kinetics.py:208`): repeated loads give identical frames."""
+    root, vids = pmv_csv_dataset
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(root)
+    cfg.DATA.PATH_PREFIX = str(vids)
+    cfg.DATA.PM_SUBSET = "_pmv400"
+    cfg.DATA.PATH_LABEL_SEPARATOR = ","
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_JITTER_SCALES = [64, 64]
+    cfg.DATA.TRAIN_CROP_SIZE = 48
+    cfg.TRAIN.SPATIAL_SAMPLE_INDEX = 1
+    ds = build_dataset("kinetics", cfg, "train")
+    tidx, sidx, *_ = ds._sample_params(3)
+    assert tidx == -1 and sidx == 1
+    # Deterministic center crop path: the square 96x96 video scaled to 64
+    # then uniform-cropped at idx 1 — same spatial window every sample.
+    s = ds[3]
+    assert s["frames"].shape == (4, 48, 48, 3)
+    # default -1 keeps random sampling
+    cfg.TRAIN.SPATIAL_SAMPLE_INDEX = -1
+    ds_r = build_dataset("kinetics", cfg, "train")
+    _, sidx_r, *_ = ds_r._sample_params(3)
+    assert sidx_r == -1

@@ -98,9 +98,11 @@ def test_merged_pools_exact(stride_q, stride_kv, has_cls):
 @pytest.mark.parametrize("sparse", [False, True])
 def test_flat_pools_exact(stride_q, stride_kv, has_cls, sparse):
     """MVIT.FLAT_POOLS: flat [B,N,H*C] pool layout == 4-d per-head layout
-    (same params, forward, and gradients), dense and sparse-KV paths."""
-    if sparse and tuple(stride_kv) == (1, 2, 2):
-        pytest.skip("stride < kernel: sparse path not taken")
+    (same params, forward, and gradients), dense and sparse-KV paths.
+
+    When sparse=True the KV stride is overridden to (1,4,4) below, so every
+    stride_kv parametrization is sparse-eligible — including the
+    stride_q=(1,2,2) q-pool-with-sparse-KV flat case (ADVICE r2)."""
     thw = (4, 8, 8)
     n = int(np.prod(thw)) + (1 if has_cls else 0)
     x = jnp.asarray(

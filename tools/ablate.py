@@ -124,6 +124,23 @@ VARIANTS = {
     ),
     "eval_diag_attn_ident": lambda c: c,
     "eval_no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
+    "chunk512": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 512)]),
+    "chunk1k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
+    "chunk2k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
+    "chunk4k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 4096)]),
+    "chunk8k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 8192)]),
+    "chunk1k_noremat": lambda c: _set(
+        c, [("TPU.ATTN_Q_CHUNK", 1024), ("TPU.ATTN_CHUNK_REMAT", False)]
+    ),
+    "chunk2k_noremat": lambda c: _set(
+        c, [("TPU.ATTN_Q_CHUNK", 2048), ("TPU.ATTN_CHUNK_REMAT", False)]
+    ),
+    "chunk1k_bs32": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
+    "chunk2k_bs32": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
+    "chunk1k_bs64": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
+    "chunk2k_bs64": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
+    "eval_chunk1k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
+    "eval_chunk2k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
     "ncdhw_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "ncdhw")]),
     "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
@@ -186,6 +203,8 @@ def time_variant(name):
         "remat_bs16": 16, "remat_bs32": 32, "remat_bs64": 64,
         "remat12_bs32": 32, "remat12_bs64": 64,
         "fused_attn_ge2m_bs32": 32,
+        "chunk1k_bs32": 32, "chunk2k_bs32": 32,
+        "chunk1k_bs64": 64, "chunk2k_bs64": 64,
     }.get(name, BATCH)
     model = build_model(cfg)
     from pmv_tpu.utils import misc

@@ -659,6 +659,12 @@ _C.TPU.PREPROCESS_DTYPE = ""
 # cheaper bit generation for the aug-heavy train step at the cost of
 # stability of the random stream across compiler versions.
 _C.TPU.PRNG_IMPL = ""
+# Host->device transfer overlap depth: a background thread enqueues the
+# device_put/shard of batch N+1 while step N's async dispatch runs (the
+# reference hides this in pinned-memory workers + non_blocking copies,
+# `MViT/tools/train_net.py:88-111`). 0 = synchronous transfer in the loop;
+# N bounds in-flight device input batches (HBM cost: N x input batch).
+_C.TPU.DEVICE_PREFETCH = 1
 
 
 def get_cfg():

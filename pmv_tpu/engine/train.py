@@ -80,14 +80,14 @@ def train_epoch(
             meter.log_iter_stats(cur_epoch, it)
         pending.clear()
 
-    meter.iter_tic()
-    for cur_iter, batch in enumerate(train_loader):
-        if prof_dir and cur_epoch == 0 and cur_iter == prof_window[0]:
-            jax.profiler.start_trace(prof_dir)
-        epoch_exact = cur_epoch + float(cur_iter) / data_size
-        lr = get_lr_at_epoch(cfg, epoch_exact)
-        keep = {"frames", "labels", "pm", "boxes", "box_mask", "index",
-                "audio", "audio_mis"}
+    keep = {"frames", "labels", "pm", "boxes", "box_mask", "index",
+            "audio", "audio_mis"}
+
+    def prepare_batch(batch):
+        """Host-side batch prep + H2D transfer enqueue. Runs on the
+        device-prefetch thread so the transfer of batch N+1 overlaps step
+        N's compute (reference: pinned-memory non_blocking copies,
+        `train_net.py:88-111`)."""
         if "audio_mis" in batch and cfg.DATA.GET_MISALIGNED_AUDIO:
             # AVS easy negatives (`loader.py:25-43`): before MIX_NEG_EPOCH
             # every row takes the *next* sample's misaligned audio (easy,
@@ -102,9 +102,25 @@ def train_epoch(
             idx = np.arange(n)
             idx[:sn] = np.arange(1, sn + 1) % sn
             batch["audio_mis"] = batch["audio_mis"][idx]
-        device_batch = mesh_lib.shard_batch(
+        return mesh_lib.shard_batch(
             {k: v for k, v in batch.items() if k in keep}, mesh
         )
+
+    if cfg.TPU.DEVICE_PREFETCH > 0:
+        from pmv_tpu.engine.prefetch import DevicePrefetcher
+
+        stream = DevicePrefetcher(
+            train_loader, prepare_batch, depth=cfg.TPU.DEVICE_PREFETCH
+        )
+    else:
+        stream = ((b, prepare_batch(b)) for b in train_loader)
+
+    meter.iter_tic()
+    for cur_iter, (batch, device_batch) in enumerate(stream):
+        if prof_dir and cur_epoch == 0 and cur_iter == prof_window[0]:
+            jax.profiler.start_trace(prof_dir)
+        epoch_exact = cur_epoch + float(cur_iter) / data_size
+        lr = get_lr_at_epoch(cfg, epoch_exact)
         meter.data_toc()
         step_fn = train_step_pm if batch["pm"].any() else train_step
         state, metrics = step_fn(state, device_batch, rng, lr)

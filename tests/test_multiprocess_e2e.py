@@ -5,10 +5,14 @@ The reference's production spine is mp.spawn + init_process_group
 test time (`test_net.py:131-136`). Our equivalent is
 `jax.distributed.initialize` + per-host loader shards +
 `multihost_utils.process_allgather`; this test drives tools/run_net.py as
-two real OS processes on a shared CPU coordinator and asserts:
+two real OS processes on a shared CPU coordinator and asserts, for EVERY
+shard strategy (dp, dp_sp sequence-parallel, fsdp):
 - both processes complete train 1 epoch + multi-view test,
 - the TestMeter result equals the single-process run (same global data),
-- the checkpoint is written exactly once (master only).
+- the checkpoint is written exactly once (master only),
+and, for a BN model (X3D) with precise-BN enabled, that the cross-host
+batch-stat aggregation path (`engine/precise_bn.py`) runs under
+`jax.distributed` and reproduces the single-process TestMeter result.
 """
 
 import json
@@ -31,7 +35,8 @@ def _free_port():
     return port
 
 
-def _run(nproc, port, outdir, proc_id=None):
+def _run(nproc, port, outdir, proc_id=None, cfg="tiny_synthetic.yaml",
+         extra_opts=()):
     """Launch run_net for one process id (or single-process when nproc=1)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -42,14 +47,14 @@ def _run(nproc, port, outdir, proc_id=None):
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "run_net.py"),
-        "--cfg", os.path.join(REPO, "configs", "tiny_synthetic.yaml"),
+        "--cfg", os.path.join(REPO, "configs", cfg),
         "--opts",
         "OUTPUT_DIR", outdir,
         "TENSORBOARD.ENABLE", "False",
         "DATA_LOADER.NUM_WORKERS", "0",
         "TRAIN.BATCH_SIZE", "8",
         "TEST.BATCH_SIZE", "8",
-    ]
+    ] + list(extra_opts)
     if nproc > 1:
         cmd += [
             "NUM_SHARDS", str(nproc),
@@ -72,11 +77,31 @@ def _final_test_acc(log):
     return json.loads(hits[-1])
 
 
+# Single-process reference TestMeter results, computed once per config
+# and shared across the strategy parametrizations (tmp dirs outlive the
+# session fixture scope via tmp_path_factory).
+_SINGLE = {}
+
+
+def _single_proc_acc(tmp_path_factory, cfg, extra_opts=()):
+    key = (cfg, tuple(extra_opts))
+    if key not in _SINGLE:
+        out1 = str(tmp_path_factory.mktemp("oneproc"))
+        p = _run(1, 0, out1, cfg=cfg, extra_opts=extra_opts)
+        log1, _ = p.communicate(timeout=1200)
+        assert p.returncode == 0, log1[-5000:]
+        _SINGLE[key] = _final_test_acc(log1)
+    return _SINGLE[key]
+
+
 @pytest.mark.slow
-def test_two_process_train_and_test(tmp_path):
+@pytest.mark.parametrize("strategy", ["dp", "dp_sp", "fsdp"])
+def test_two_process_train_and_test(tmp_path, tmp_path_factory, strategy):
+    opts = ["TPU.SHARD_STRATEGY", strategy]
     port = _free_port()
     out2 = str(tmp_path / "twoproc")
-    procs = [_run(2, port, out2, proc_id=i) for i in range(2)]
+    procs = [_run(2, port, out2, proc_id=i, extra_opts=opts)
+             for i in range(2)]
     logs = []
     for p in procs:
         log, _ = p.communicate(timeout=1200)
@@ -91,22 +116,43 @@ def test_two_process_train_and_test(tmp_path):
     names = os.listdir(ckpt_dir)
     assert len(names) == 1, names
 
-    # Single-process reference run on the same global data.
-    out1 = str(tmp_path / "oneproc")
-    p = _run(1, port, out1)
-    log1, _ = p.communicate(timeout=1200)
-    assert p.returncode == 0, log1[-5000:]
-    acc1 = _final_test_acc(log1)
-
-    # Same videos, same deterministic test views; training differs only by
-    # RNG fold-in across the same global batch -> test protocol must see
-    # every video exactly once in both runs.
+    # Single-process reference run on the same global data (dp over 4
+    # devices). Sharding is a layout, not a math change: the same global
+    # batch and RNG produce the same trained params, so the deterministic
+    # multi-view test protocol must reproduce the TestMeter result exactly
+    # for every strategy.
+    acc1 = dict(_single_proc_acc(tmp_path_factory, "tiny_synthetic.yaml"))
     assert set(acc1) == set(acc2)
-    # The multi-view ensemble covered all videos in both runs: top1+top5
-    # parseable and within [0, 100].
-    for acc in (acc1, acc2):
-        v = float(acc["top1_acc"])
-        assert 0.0 <= v <= 100.0
+    assert acc2["top1_acc"] == acc1["top1_acc"], (strategy, acc1, acc2)
+    assert acc2["top5_acc"] == acc1["top5_acc"], (strategy, acc1, acc2)
+
+
+@pytest.mark.slow
+def test_two_process_precise_bn(tmp_path, tmp_path_factory):
+    """Precise-BN's cross-host batch-stat aggregation (reference
+    `calculate_and_update_precise_bn`, MViT/tools/train_net.py:380-398;
+    ours `engine/precise_bn.py` psum over the global mesh) under real
+    2-process jax.distributed, against the single-process result."""
+    port = _free_port()
+    out2 = str(tmp_path / "twoproc_x3d")
+    procs = [
+        _run(2, port, out2, proc_id=i, cfg="tiny_x3d_synthetic.yaml")
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        log, _ = p.communicate(timeout=1200)
+        logs.append(log)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{logs[i][-5000:]}"
+    assert "precise" in logs[0].lower() or "precise" in logs[1].lower()
+
+    acc2 = _final_test_acc(logs[0])
+    acc1 = dict(
+        _single_proc_acc(tmp_path_factory, "tiny_x3d_synthetic.yaml")
+    )
+    assert acc2["top1_acc"] == acc1["top1_acc"], (acc1, acc2)
+    assert acc2["top5_acc"] == acc1["top5_acc"], (acc1, acc2)
 
 
 @pytest.mark.slow

@@ -124,6 +124,9 @@ VARIANTS = {
     ),
     "eval_diag_attn_ident": lambda c: c,
     "eval_no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
+    # Per-clip RandAugment chains (reference sampling, kinetics.py:429-440)
+    # vs the default batch-group sampling — prices the recipe decision.
+    "ra_perclip": lambda c: _set(c, [("AUG.RA_GROUPS", -1)]),
     "chunk512": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 512)]),
     "chunk1k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
     "chunk2k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),

@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--corpus", default="/tmp/pmv_corpus")
     ap.add_argument("--make-corpus", type=int, default=0)
     ap.add_argument("--loader-batches", type=int, default=12)
+    ap.add_argument("--prefetch", type=int, default=0,
+                    help="DevicePrefetcher depth for phase C (0 = sync)")
     args = ap.parse_args()
 
     if args.make_corpus:
@@ -136,20 +138,33 @@ def main():
     step_rate = args.batch * n_bench / (time.perf_counter() - t0)
 
     # --- Phase C: combined loop — real batches through the jitted step.
-    it = iter(loader)
+    # With --prefetch this is the production train_epoch handoff
+    # (TPU.DEVICE_PREFETCH): a background thread enqueues the transfer of
+    # batch N+1 while step N runs; data_wait then measures only the
+    # residual queue stall.
+    def _prep(b):
+        return mesh_lib.shard_batch(
+            {"frames": b["frames"], "labels": b["labels"]}, mesh
+        )
+
+    class _Cycle:
+        def __iter__(self):
+            while True:
+                yield from loader
+
+    if args.prefetch > 0:
+        from pmv_tpu.engine.prefetch import DevicePrefetcher
+
+        stream = iter(DevicePrefetcher(_Cycle(), _prep, depth=args.prefetch))
+    else:
+        stream = ((b, _prep(b)) for b in iter(_Cycle()))
     t_all0 = time.perf_counter()
     data_wait = 0.0
     n_steps = 0
     while n_steps < args.steps:
         t_d = time.perf_counter()
-        b = next(it, None)
-        if b is None:
-            it = iter(loader)
-            continue
+        _, db = next(stream)
         data_wait += time.perf_counter() - t_d
-        db = mesh_lib.shard_batch(
-            {"frames": b["frames"], "labels": b["labels"]}, mesh
-        )
         state, metrics = train_step(state, db, rng, 1e-4)
         n_steps += 1
     jax.device_get(metrics["loss"])
@@ -171,6 +186,7 @@ def main():
                 "step_bound_at_cores": int(np.ceil(step_rate / per_core)),
                 "batch": args.batch,
                 "steps": n_steps,
+                "prefetch": args.prefetch,
             }
         )
     )

@@ -41,6 +41,10 @@ def main():
     # RngBitGenerator keys and a bf16 on-device augmentation chain.
     cfg.TPU.PRNG_IMPL = "rbg"
     cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
+    # Chunked q-tiled attention (round 3, swept 512/1k/2k/4k on v5e):
+    # 2048 wins at bs8 (94.1 -> 93.4 ms) and bs32 (14.6 -> 13.8 ms/clip),
+    # and removes the [B,H,N,N'] probs buffers that blocked bs64 compile.
+    cfg.TPU.ATTN_Q_CHUNK = 2048
     platform = jax.devices()[0].platform
     if platform == "cpu":
         # CI fallback: tiny config so the bench finishes.

@@ -375,11 +375,19 @@ class Kinetics:
                 )
             else:
                 # Repeated augmentation (`kinetics.py:396-401`,
-                # AUG.NUM_SAMPLE): decode once, crop/flip NUM_SAMPLE times;
-                # per-copy RandAugment diversity comes from the device-side
-                # group split (the jitter scale is shared across copies —
-                # decode-time resize; documented deviation from the
-                # reference's per-copy re-jitter).
+                # AUG.NUM_SAMPLE): decode once, crop/flip NUM_SAMPLE times.
+                # Each copy re-samples its RandomResizedCrop box and flip
+                # here (one_crop), so per-copy crop GEOMETRY is re-jittered
+                # exactly like the reference's per-copy spatial_sampling;
+                # only the decode-time short-side resize is shared, and the
+                # relative box distribution is decode-scale-invariant to
+                # within integer rounding (KS <= 0.026 at the harshest
+                # scale, measured — tests/test_aug_equivalence.py). The
+                # residual deviation is one extra bilinear resample per
+                # copy, not an augmentation-distribution change. (Recipes
+                # with AUG.ENABLE but empty TRAIN_JITTER_SCALES_RELATIVE
+                # would share the short-side draw across copies; no
+                # reference recipe uses that combination.)
                 num_aug = (
                     cfg.AUG.NUM_SAMPLE
                     if self.mode == "train" and cfg.AUG.ENABLE

@@ -299,7 +299,8 @@ def make_train_step(cfg, model, tx, model_pm=None):
             "grad_norm": grad_norm,
             "top1_err": (1.0 - correct1.mean()) * 100.0,
             "top5_err": (1.0 - correct5.mean()) * 100.0,
-            "nan": jnp.isnan(loss) | jnp.isinf(loss),
+            "nan": (jnp.isnan(loss) | jnp.isinf(loss)
+                    | jnp.isnan(grad_norm) | jnp.isinf(grad_norm)),
         }
         return new_state, metrics
 
@@ -374,7 +375,8 @@ def make_detection_train_step(cfg, model, tx):
             "grad_norm": grad_norm,
             "top1_err": jnp.zeros(()),
             "top5_err": jnp.zeros(()),
-            "nan": jnp.isnan(loss) | jnp.isinf(loss),
+            "nan": (jnp.isnan(loss) | jnp.isinf(loss)
+                    | jnp.isnan(grad_norm) | jnp.isinf(grad_norm)),
         }
         return new_state, metrics
 

@@ -47,7 +47,12 @@ def train_epoch(
     # device_get would serialize host dispatch against device compute
     # (the reference pays the same .item() sync on GPU at
     # `train_net.py:271-277`; TPU async dispatch is the whole point).
-    # NaN / loss-explosion guards run at flush granularity.
+    # NaN / loss-explosion guards run at flush granularity (up to
+    # LOG_PERIOD-1 poisoned steps may execute before the raise — the price
+    # of async dispatch). A poisoned CHECKPOINT can never be written: the
+    # epoch-end flush below raises before train() reaches save_checkpoint,
+    # and the device-side flag also trips on non-finite grad norms, which
+    # poison params one step before the loss shows it.
     pending = []
     flush_every = max(1, cfg.LOG_PERIOD)
 

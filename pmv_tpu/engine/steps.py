@@ -51,16 +51,14 @@ def make_preprocess_fn(cfg, train: bool):
     use_td = train and cfg.DATA.TIME_DIFF_PROB > 0
     ra = RandAugment(cfg.AUG.AA_TYPE) if use_ra else None
 
-    # With repeated augmentation the batch is copy-major (loader collate),
-    # so >= NUM_SAMPLE groups give each copy of a clip a different op chain.
-    # AUG.RA_GROUPS overrides: -1 = per-clip chains (reference sampling,
-    # `kinetics.py:429-440`), N > 0 = N chunks.
-    if cfg.AUG.RA_GROUPS == -1:
-        ra_groups = 1 << 30  # clamped to the batch size in apply_batch
-    elif cfg.AUG.RA_GROUPS > 0:
+    # AUG.RA_GROUPS: -1/0 = per-clip chains (the reference's sampling,
+    # `kinetics.py:429-440`; measured +0.7% step time on v5e, ROADMAP r3,
+    # so exact parity is the default), N > 0 = N batch chunks sharing a
+    # chain (cheaper compile for sweep tooling).
+    if cfg.AUG.RA_GROUPS > 0:
         ra_groups = cfg.AUG.RA_GROUPS
     else:
-        ra_groups = max(2, cfg.AUG.NUM_SAMPLE)
+        ra_groups = 1 << 30  # clamped to the batch size in apply_batch
 
     use_ava_color = (
         train

@@ -436,12 +436,30 @@ class FlatGroupLN(nn.Module):
         C = HC // H
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
-        m = np.kron(np.eye(H), np.ones((C, 1), np.float32) / C)  # [HC, H]
-        mj = jnp.asarray(m, jnp.float32)
-        mt = jnp.asarray((m > 0).T.astype(np.float32))  # [H, HC] 0/1
+        m01 = np.kron(np.eye(H), np.ones((C, 1), np.float32))  # [HC, H] 0/1
+        mt = jnp.asarray(m01.T)  # [H, HC] 0/1
         xf = x.astype(jnp.float32)
-        mean = xf @ mj  # [B, N, H]
-        var = (xf * xf) @ mj - mean * mean
+        if x.dtype == jnp.float32:
+            # Bit-exact path (parity tests): f32 stats dots.
+            mj = jnp.asarray(m01 / C)
+            mean = xf @ mj  # [B, N, H]
+            var = (xf * xf) @ mj - mean * mean
+        else:
+            # bf16 input: feed the 0/1 stats dots the bf16 tensor directly
+            # with f32 accumulation (halves the dot read bytes; measured on
+            # the per-op profile where these dots are the LN cost). The sum
+            # is over the SAME bf16-rounded values flax's LayerNorm(dtype=
+            # bf16) promotes, the 0/1 weights are exact in bf16, and the
+            # MXU accumulates bf16 products exactly into f32 — so this is
+            # the same tolerance class as the 4-d form, not a new rounding.
+            mb = jnp.asarray(m01, x.dtype)
+            mean = jnp.einsum(
+                "bnk,kh->bnh", x, mb,
+                preferred_element_type=jnp.float32) / C
+            x2 = (xf * xf).astype(jnp.float32)
+            var = jnp.einsum(
+                "bnk,kh->bnh", x2, jnp.asarray(m01),
+                preferred_element_type=jnp.float32) / C - mean * mean
         mean_f = mean @ mt  # [B, N, HC]
         inv_f = jax.lax.rsqrt(var + self.epsilon) @ mt
         scale_t = jnp.tile(scale.astype(jnp.float32), H)

@@ -74,7 +74,18 @@ def save_checkpoint(path_to_job, state, epoch, cfg, extra=None):
     if extra:
         payload.update(extra)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.abspath(path), payload, force=True)
+    # tensorstore's OCDBT commit can transiently fail under heavy host
+    # load (observed: NOT_FOUND reading back its own data file mid-commit
+    # in a 2-process CPU run). The write is atomic (tmp dir + rename), so
+    # one retry with force=True is safe and loses nothing.
+    for attempt in (0, 1):
+        try:
+            ckptr.save(os.path.abspath(path), payload, force=True)
+            break
+        except ValueError:
+            if attempt:
+                raise
+            logger.warning("checkpoint save failed; retrying once: %s", path)
     logger.info("Saved checkpoint to %s", path)
     return path
 

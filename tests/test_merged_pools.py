@@ -234,3 +234,44 @@ def test_merged_pools_full_model_parity():
     np.testing.assert_allclose(
         np.asarray(y_ref), np.asarray(y_opt), rtol=1e-5, atol=1e-5
     )
+
+
+def test_flat_group_ln_bf16_tolerance():
+    """FlatGroupLN's bf16 fast path (0/1 stats dots on the bf16 tensor with
+    f32 accumulation) stays within bf16 tolerance of nn.LayerNorm applied to
+    the 4-d [B,N,H,C] layout with bf16 input — the numerics class the flat
+    pools ship in the bench recipe (f32 input stays bit-exact, covered by
+    test_flat_pools_exact)."""
+    import flax.linen as nn
+
+    from pmv_tpu.models.attention import FlatGroupLN
+
+    H, C = 4, 96
+    rng = np.random.default_rng(7)
+    x4 = jnp.asarray(rng.normal(size=(2, 33, H, C)) * 3 + 1, jnp.bfloat16)
+    xf = x4.reshape(2, 33, H * C)
+
+    ln4 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.bfloat16)
+    p4 = ln4.init(jax.random.PRNGKey(0), x4)
+    # Non-trivial affine so scale/bias tiling is exercised.
+    p4 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape), a.dtype), p4
+    )
+    lnf = FlatGroupLN(heads=H, dtype=jnp.bfloat16)
+    pf = {"params": {k: v for k, v in p4["params"].items()}}
+
+    y4 = ln4.apply(p4, x4).reshape(2, 33, H * C).astype(np.float32)
+    yf = lnf.apply(pf, xf).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(yf),
+                               rtol=2e-2, atol=2e-2)
+
+    # Gradients stay in the same tolerance class.
+    g4 = jax.grad(lambda p: jnp.sum(
+        ln4.apply(p, x4).astype(jnp.float32) ** 2))(p4)
+    gf = jax.grad(lambda p: jnp.sum(
+        lnf.apply(p, xf).astype(jnp.float32) ** 2))(pf)
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(
+            np.asarray(g4["params"][k]), np.asarray(gf["params"][k]),
+            rtol=5e-2, atol=5e-1,
+        )

@@ -128,9 +128,12 @@ VARIANTS = {
     ),
     "eval_diag_attn_ident": lambda c: c,
     "eval_no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
-    # Per-clip RandAugment chains (reference sampling, kinetics.py:429-440)
-    # vs the default batch-group sampling — prices the recipe decision.
+    # RandAugment chain granularity: per-clip (reference sampling,
+    # kinetics.py:429-440) became the default after measuring +0.7%
+    # (89.16 vs 88.52 ms at bs8); ra_groups2 re-measures the old
+    # batch-group sampling.
     "ra_perclip": lambda c: _set(c, [("AUG.RA_GROUPS", -1)]),
+    "ra_groups2": lambda c: _set(c, [("AUG.RA_GROUPS", 2)]),
     # Pools layout attack (round 3): the per-op profile attributes 15.7 ms
     # of the 30.4 ms pools bucket to flat<->grid<->heads relayout copies;
     # FLAT_POOLS keeps q/k/v in [B,N,H*C] through the pools.

@@ -147,3 +147,9 @@ def test_multiscale_attention_matches_naive(has_cls, heads):
     o = o @ p["proj"]["kernel"] + p["proj"]["bias"]
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(o), atol=2e-4)
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -153,3 +153,9 @@ def test_fused_in_model_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_xla), atol=2e-4, rtol=1e-4
     )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

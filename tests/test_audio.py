@@ -205,3 +205,9 @@ def test_preprocess_bgr_order():
     )
     out = np.asarray(pre(jax.random.PRNGKey(0), frames))
     np.testing.assert_allclose(out, np.asarray(frames)[..., ::-1].astype(np.float32))
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -113,3 +113,10 @@ def test_resnet_c2_roundtrip(tmp_path):
                 np.asarray(a), np.asarray(b), atol=1e-6,
                 err_msg=f"{kind}: " + "/".join(str(k.key) for k in p1),
             )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+import pytest  # noqa: E402  (slow-mark only)
+pytestmark = pytest.mark.slow

@@ -92,3 +92,10 @@ def test_test_checkpoint_priority(tmp_path):
     a = jax.tree_util.tree_leaves(restored.params)[0]
     b = jax.tree_util.tree_leaves(mutated.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+import pytest  # noqa: E402  (slow-mark only)
+pytestmark = pytest.mark.slow

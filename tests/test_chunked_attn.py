@@ -95,3 +95,9 @@ def test_chunked_module_matches_unchunked(has_cls, rel_temporal):
     flat_c, _ = jax.tree_util.tree_flatten(g_chk)
     for a, b in zip(flat_r, flat_c):
         np.testing.assert_allclose(b, a, rtol=5e-5, atol=5e-5)
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -149,3 +149,10 @@ def test_lighting_jitter_mean_shift():
     for b in range(3):
         for c in range(3):
             assert d[b, ..., c].std() < 1e-3
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+import pytest  # noqa: E402  (slow-mark only)
+pytestmark = pytest.mark.slow

@@ -69,3 +69,9 @@ def test_shipped_config_model_initializes(path):
     else:
         variables = model.init(jax.random.PRNGKey(0), x, train=False)
     assert "params" in variables
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -133,3 +133,9 @@ def test_knn_feature_step_and_predict():
     labels = jnp.asarray(np.arange(64) % 5)
     scores = cm.knn_predict(state.bank + 1e-3, labels, feats, 5, k=8)
     assert scores.shape == (4, 5)
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -196,3 +196,10 @@ def test_auto_window_pool_impl_in_model_matches_xla():
     g_win = jax.grad(loss(m_win))(variables)
     for a, b in zip(jax.tree.leaves(g_win), jax.tree.leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+import pytest  # noqa: E402  (slow-mark only)
+pytestmark = pytest.mark.slow

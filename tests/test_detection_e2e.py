@@ -118,3 +118,9 @@ def test_detection_eval_map(ava_cfg):
     stats = run_test(cfg)
     assert "map" in stats
     assert 0.0 <= stats["map"] <= 1.0
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

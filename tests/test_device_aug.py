@@ -156,3 +156,9 @@ def test_equalize_matches_pil():
         ]
     ).astype(np.float32)
     np.testing.assert_array_equal(out, ref)
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

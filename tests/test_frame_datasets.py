@@ -187,3 +187,9 @@ def test_charades_multilabel_train_e2e(tmp_path):
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
     stats = train(cfg)
     assert stats is None or True  # reaching here = full loop ran
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

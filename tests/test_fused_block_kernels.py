@@ -172,3 +172,9 @@ def test_per_head_attn_impl_matches_batched():
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(y0), atol=2e-5, rtol=1e-4
     )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

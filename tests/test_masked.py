@@ -260,3 +260,10 @@ def test_vis_mask_test_entry(tmp_path):
     assert out and all(os.path.exists(p) for p in out)
     comp = np.load(out[0])
     assert comp.ndim == 6 and comp.shape[1] == 3
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+import pytest  # noqa: E402  (slow-mark only)
+pytestmark = pytest.mark.slow

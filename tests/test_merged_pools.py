@@ -275,3 +275,9 @@ def test_flat_group_ln_bf16_tolerance():
             np.asarray(g4["params"][k]), np.asarray(gf["params"][k]),
             rtol=5e-2, atol=5e-1,
         )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

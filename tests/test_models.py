@@ -324,3 +324,9 @@ def test_mvit_v1_sep_pos_embed():
     assert "pos_embed_temporal" in params
     out = model.apply(variables, x, train=False)
     assert out.shape == (2, 5)
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -156,3 +156,10 @@ def test_short_cycle_loader_batches():
     assert shapes[0] == (8, 8)    # bs*4, crop 8
     assert shapes[1] == (4, 11)   # bs*2, crop round(0.707*16)=11
     assert shapes[2] == (2, 16)   # base
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+import pytest  # noqa: E402  (slow-mark only)
+pytestmark = pytest.mark.slow

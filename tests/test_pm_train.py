@@ -113,3 +113,9 @@ def test_pm_eval_selects_per_sample(pm_cfg):
         p_plain[~pm_np], p_pm[~pm_np], atol=1e-5
     )
     assert np.abs(p_plain[pm_np] - p_pm[pm_np]).max() > 1e-6
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

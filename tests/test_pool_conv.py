@@ -188,3 +188,9 @@ def test_dw_window_matches_xla(stride):
     np.testing.assert_allclose(
         np.asarray(g[1]).ravel(), np.asarray(g_ref[1]).ravel(), atol=1e-3
     )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

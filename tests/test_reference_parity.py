@@ -284,3 +284,9 @@ def test_uniformer_logit_parity():
     # train=False apply with imported batch_stats.
     ours = _run_ours(cfg, _export_torch(m), frames)
     _assert_close(ours, ref_out, "uniformer", atol=1e-4)
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

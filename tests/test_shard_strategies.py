@@ -71,3 +71,9 @@ def test_dp_sp_batch_sharding_layout():
     out = mesh_lib.shard_batch({"frames": frames}, mesh)
     spec = out["frames"].sharding.spec
     assert tuple(spec) == ("data", "model")
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

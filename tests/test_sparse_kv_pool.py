@@ -128,3 +128,9 @@ def test_tiny_mvit_model_sparse_parity():
     np.testing.assert_allclose(
         np.asarray(outs[True]), np.asarray(outs[False]), atol=2e-5, rtol=1e-4
     )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -76,3 +76,9 @@ def test_fold_matches_conv(kernel, stride, pad, shape):
         ),
         g0, g1,
     )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

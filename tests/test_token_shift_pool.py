@@ -61,3 +61,9 @@ def test_token_shift_gradients_match():
         ),
         g_token, g_grid,
     )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -138,3 +138,9 @@ def test_pretrain_registry(tmp_path, monkeypatch):
     # Unknown names raise with the registry listing.
     with pytest.raises(KeyError):
         pretrain.resolve("not_a_model")
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

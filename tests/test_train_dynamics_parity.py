@@ -155,3 +155,9 @@ def test_train_dynamics_parity(method):
         assert abs(a - b) < 2e-3 * (i + 1) + 1e-4, (
             i, our_losses, ref_losses
         )
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

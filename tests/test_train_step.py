@@ -223,3 +223,9 @@ def test_multilabel_bce_train_step():
     new_state, metrics = step(state, batch, rng, 1e-3)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

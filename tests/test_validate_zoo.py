@@ -130,3 +130,9 @@ def test_validate_zoo_dryrun(zoo_setup, capsys):
     verdict = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and verdict["pass"] is False
     assert verdict["diff"] == round(verdict["top1"] - 99.9, 3)
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

@@ -232,3 +232,9 @@ def test_visualize_predictions_path_offline(tmp_path):
     visualize(cfg)
     runs = [d for d in os.listdir(tmp_path) if d.startswith("runs-")]
     assert runs
+
+
+# Model-compile / multi-minute tier: excluded from the default
+# selection (pyproject addopts -m 'not slow'); run with -m slow or
+# -m "slow or not slow" for the full suite.
+pytestmark = pytest.mark.slow

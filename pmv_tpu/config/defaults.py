@@ -182,6 +182,11 @@ _C.MVIT.MERGED_POOLS = False
 # [B,N,H,C] <-> grid reshapes are physical relayout copies on TPU. Exact same
 # math and parameter tree (pool LayerNorm computed per C-block, FlatGroupLN).
 _C.MVIT.FLAT_POOLS = False
+# Per-host batch above which FLAT_POOLS silently falls back to the 4-d pool
+# layout: the flat lowering at batch 32 reliably crashes the remote TPU
+# compile helper (HTTP 500, round-3 probes) while every reference recipe
+# runs 4-12 clips/chip. 0 = no limit.
+_C.MVIT.FLAT_POOLS_MAX_BATCH = 16
 # Attention einsum lowering: "batched" one bhqk einsum over (b, h) |
 # "per_head" head-sliced bqk einsums (no h<->q relayout of q/probs).
 _C.MVIT.ATTN_IMPL = "batched"

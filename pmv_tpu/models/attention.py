@@ -857,6 +857,9 @@ class MultiScaleAttention(nn.Module):
     sparse_kv: bool = True  # decimated K/V projection+pool when stride>=kernel
     merged_pools: bool = False  # K+V (and Q when same geometry) as ONE conv
     flat_pools: bool = False  # q/k/v stay [B, N, H*C] through the pools
+    flat_pools_max_batch: int = 16  # flat off above this B (compile-helper
+    # crash at bs32, round-3 probes; 0 = no limit). Layout-only: the param
+    # tree and math are identical either way.
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     fused_attn: bool = False  # fused attention+proj half-block kernel
     attn_q_chunk: int = 0  # q-tiled attention chunk rows (0 = off)
@@ -939,6 +942,10 @@ class MultiScaleAttention(nn.Module):
             and self.pool_impl in ("xla", "auto")
             and not self.use_pallas_pools
             and not use_merged_kv
+            and (
+                self.flat_pools_max_batch <= 0
+                or B <= self.flat_pools_max_batch
+            )
         )
 
         # Tokens-major [B, N, heads, C] layout end-to-end: head split,
@@ -1351,6 +1358,7 @@ class MultiScaleBlock(nn.Module):
     sparse_kv: bool = True
     merged_pools: bool = False
     flat_pools: bool = False
+    flat_pools_max_batch: int = 16
     fused_mlp: bool = False
     fused_attn: bool = False
     attn_impl: str = "batched"
@@ -1405,6 +1413,7 @@ class MultiScaleBlock(nn.Module):
             sparse_kv=self.sparse_kv,
             merged_pools=self.merged_pools,
             flat_pools=self.flat_pools,
+            flat_pools_max_batch=self.flat_pools_max_batch,
             attn_impl=self.attn_impl,
             fused_attn=self.fused_attn,
             attn_q_chunk=self.attn_q_chunk,

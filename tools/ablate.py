@@ -153,6 +153,9 @@ VARIANTS = {
     ),
     "chunk1k_bs32": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
     "chunk2k_bs32": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
+    # Control for the flat@bs32 remote-compile 500 (round 3): same batch,
+    # flat off ("bs32" itself probes flat + the bf16-stats LN).
+    "noflat_bs32": lambda c: _set(c, [("MVIT.FLAT_POOLS", False)]),
     "chunk1k_bs64": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
     "chunk2k_bs64": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
     "chunk512_bs64": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 512)]),
@@ -224,6 +227,7 @@ def time_variant(name):
         "chunk1k_bs32": 32, "chunk2k_bs32": 32,
         "chunk1k_bs64": 64, "chunk2k_bs64": 64,
         "chunk512_bs64": 64, "chunk512_bs48": 48,
+        "noflat_bs32": 32,
     }.get(name, BATCH)
     model = build_model(cfg)
     from pmv_tpu.utils import misc

@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--loader-batches", type=int, default=12)
     ap.add_argument("--prefetch", type=int, default=0,
                     help="DevicePrefetcher depth for phase C (0 = sync)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="phase C feeds pre-built host batches (instant "
+                    "producer) — isolates the H2D-overlap win from decode "
+                    "starvation on small hosts")
     args = ap.parse_args()
 
     if args.make_corpus:
@@ -152,6 +156,27 @@ def main():
         def __iter__(self):
             while True:
                 yield from loader
+
+    if args.synthetic:
+        # Two distinct host batches (so H2D really transfers per step, no
+        # aliasing), yielded with zero producer latency.
+        rng_np = np.random.default_rng(1)
+        synth = [
+            {
+                "frames": rng_np.integers(
+                    0, 255, first["frames"].shape, dtype=np.uint8
+                ),
+                "labels": np.asarray(first["labels"]),
+            }
+            for _ in range(2)
+        ]
+
+        class _Cycle:  # noqa: F811 - deliberate override for phase C
+            def __iter__(self):
+                i = 0
+                while True:
+                    yield synth[i % 2]
+                    i += 1
 
     if args.prefetch > 0:
         from pmv_tpu.engine.prefetch import DevicePrefetcher

@@ -652,6 +652,11 @@ _C.TPU.ATTN_Q_CHUNK = 0
 # chunk body) instead of storing them fwd->bwd. Required for the large-
 # batch memory win; turn off to measure store-vs-recompute.
 _C.TPU.ATTN_CHUNK_REMAT = True
+# Hand-written backward for the flat-pool group LayerNorm (standard LN
+# gradient via the masked-matmul trick) instead of autodiff through the
+# E[x^2] stats chain. Exactness-tested; opt-in until the chip measurement
+# shows a win (tools/ablate.py flat_ln_vjp).
+_C.TPU.FLAT_LN_VJP = False
 # Dtype for the fused on-device augmentation chain (RandAugment, erasing,
 # color jitter, normalize). The model casts to COMPUTE_DTYPE right after
 # preprocessing anyway, so "bfloat16" here only adds sub-quantization noise

@@ -18,6 +18,7 @@ implementation, by design:
   early-stage sequences.
 """
 
+import functools
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -409,6 +410,64 @@ def _pool_conv(x, w, stride, padding):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _flat_gln_fn(H, C, eps):
+    """FlatGroupLN core with a hand-written backward, per (heads, C, eps).
+
+    f(x [B,N,HC], scale_t [HC] f32, bias_t [HC] f32) -> y f32. Forward math
+    is identical to the inline stats-dots version; the backward computes
+    the standard LN gradient with the same masked-matmul trick instead of
+    autodiff through the E[x^2] chain (whose transposed dots are the LN
+    backward cost in the round-3 per-op profile). Residuals: x + the tiny
+    [B,N,H] mean/inv; xhat is recomputed in backward."""
+    m01 = np.kron(np.eye(H), np.ones((C, 1), np.float32))
+    mj_np, mt_np = m01 / C, m01.T
+
+    def _stats(x):
+        xf = x.astype(jnp.float32)
+        if x.dtype == jnp.float32:
+            mean = xf @ jnp.asarray(mj_np)
+            var = (xf * xf) @ jnp.asarray(mj_np) - mean * mean
+        else:
+            mean = jnp.einsum(
+                "bnk,kh->bnh", x, jnp.asarray(m01, x.dtype),
+                preferred_element_type=jnp.float32) / C
+            var = jnp.einsum(
+                "bnk,kh->bnh", xf * xf, jnp.asarray(m01),
+                preferred_element_type=jnp.float32) / C - mean * mean
+        return xf, mean, jax.lax.rsqrt(var + eps)
+
+    @jax.custom_vjp
+    def f(x, scale_t, bias_t):
+        xf, mean, inv = _stats(x)
+        mt = jnp.asarray(mt_np)
+        return (xf - mean @ mt) * (inv @ mt) * scale_t + bias_t
+
+    def fwd(x, scale_t, bias_t):
+        xf, mean, inv = _stats(x)
+        mt = jnp.asarray(mt_np)
+        y = (xf - mean @ mt) * (inv @ mt) * scale_t + bias_t
+        return y, (x, mean, inv, scale_t)
+
+    def bwd(res, g):
+        x, mean, inv, scale_t = res
+        mj, mt = jnp.asarray(mj_np), jnp.asarray(mt_np)
+        gf = g.astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        inv_f = inv @ mt
+        xhat = (xf - mean @ mt) * inv_f
+        gs = gf * scale_t
+        m1 = (gs @ mj) @ mt  # per-block mean of gs, broadcast
+        m2 = ((gs * xhat) @ mj) @ mt  # per-block mean of gs*xhat
+        dx = ((gs - m1 - xhat * m2) * inv_f).astype(x.dtype)
+        dscale_t = jnp.sum(gf * xhat, axis=(0, 1))  # [HC]
+        dbias_t = jnp.sum(gf, axis=(0, 1))
+        return dx, dscale_t, dbias_t
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 class FlatGroupLN(nn.Module):
     """Per-head LayerNorm on the FLAT [B, N, heads*C] layout.
 
@@ -428,6 +487,7 @@ class FlatGroupLN(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-6
+    custom_grad: bool = False  # hand-written LN backward (TPU.FLAT_LN_VJP)
 
     @nn.compact
     def __call__(self, x):
@@ -436,6 +496,11 @@ class FlatGroupLN(nn.Module):
         C = HC // H
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        if self.custom_grad:
+            scale_t = jnp.tile(scale.astype(jnp.float32), H)
+            bias_t = jnp.tile(bias.astype(jnp.float32), H)
+            y = _flat_gln_fn(H, C, self.epsilon)(x, scale_t, bias_t)
+            return y.astype(self.dtype)
         m01 = np.kron(np.eye(H), np.ones((C, 1), np.float32))  # [HC, H] 0/1
         mt = jnp.asarray(m01.T)  # [H, HC] 0/1
         xf = x.astype(jnp.float32)
@@ -485,6 +550,7 @@ class AttentionPool(nn.Module):
     pool_impl: str = "xla"  # xla | shift | custom_vjp | pallas (TPU only)
     flat: bool = False  # tokens stay [B, N, heads*C]; no 4-d per-head form
     heads: int = 1  # only read when flat (kernel tiling + LN groups)
+    flat_ln_vjp: bool = False  # hand-written FlatGroupLN backward
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
 
@@ -527,7 +593,7 @@ class AttentionPool(nn.Module):
             if self.flat:
                 return FlatGroupLN(
                     heads=H, dtype=self.dtype, epsilon=self.norm_eps,
-                    name="norm",
+                    custom_grad=self.flat_ln_vjp, name="norm",
                 )(t)
             return nn.LayerNorm(
                 epsilon=self.norm_eps, dtype=self.dtype, name="norm"
@@ -857,6 +923,7 @@ class MultiScaleAttention(nn.Module):
     sparse_kv: bool = True  # decimated K/V projection+pool when stride>=kernel
     merged_pools: bool = False  # K+V (and Q when same geometry) as ONE conv
     flat_pools: bool = False  # q/k/v stay [B, N, H*C] through the pools
+    flat_ln_vjp: bool = False  # custom FlatGroupLN backward (TPU.FLAT_LN_VJP)
     flat_pools_max_batch: int = 16  # flat off above this B (compile-helper
     # crash at bs32, round-3 probes; 0 = no limit). Layout-only: the param
     # tree and math are identical either way.
@@ -1033,6 +1100,7 @@ class MultiScaleAttention(nn.Module):
                 use_pallas_pools=self.use_pallas_pools,
                 pool_impl=self.pool_impl,
                 flat=use_flat, heads=self.num_heads,
+                flat_ln_vjp=self.flat_ln_vjp,
                 dtype=self.dtype, name="pool_q",
             )(q, thw_shape)
             k, k_shape = AttentionPool(
@@ -1041,6 +1109,7 @@ class MultiScaleAttention(nn.Module):
                 use_pallas_pools=self.use_pallas_pools,
                 pool_impl=self.pool_impl,
                 flat=use_flat, heads=self.num_heads,
+                flat_ln_vjp=self.flat_ln_vjp,
                 dtype=self.dtype, name="pool_k",
             )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
             v, v_shape = AttentionPool(
@@ -1049,6 +1118,7 @@ class MultiScaleAttention(nn.Module):
                 use_pallas_pools=self.use_pallas_pools,
                 pool_impl=self.pool_impl,
                 flat=use_flat, heads=self.num_heads,
+                flat_ln_vjp=self.flat_ln_vjp,
                 dtype=self.dtype, name="pool_v",
             )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
             if use_flat:
@@ -1359,6 +1429,7 @@ class MultiScaleBlock(nn.Module):
     merged_pools: bool = False
     flat_pools: bool = False
     flat_pools_max_batch: int = 16
+    flat_ln_vjp: bool = False
     fused_mlp: bool = False
     fused_attn: bool = False
     attn_impl: str = "batched"
@@ -1414,6 +1485,7 @@ class MultiScaleBlock(nn.Module):
             merged_pools=self.merged_pools,
             flat_pools=self.flat_pools,
             flat_pools_max_batch=self.flat_pools_max_batch,
+            flat_ln_vjp=self.flat_ln_vjp,
             attn_impl=self.attn_impl,
             fused_attn=self.fused_attn,
             attn_q_chunk=self.attn_q_chunk,

@@ -314,6 +314,7 @@ class MViT(nn.Module):
                 merged_pools=cfg.MVIT.MERGED_POOLS,
                 flat_pools=cfg.MVIT.FLAT_POOLS,
                 flat_pools_max_batch=cfg.MVIT.FLAT_POOLS_MAX_BATCH,
+                flat_ln_vjp=cfg.TPU.FLAT_LN_VJP,
                 fused_mlp=cfg.TPU.FUSED_MLP,
                 fused_attn=cfg.TPU.FUSED_ATTN,
                 attn_impl=cfg.MVIT.ATTN_IMPL,

@@ -281,3 +281,48 @@ def test_flat_group_ln_bf16_tolerance():
 # selection (pyproject addopts -m 'not slow'); run with -m slow or
 # -m "slow or not slow" for the full suite.
 pytestmark = pytest.mark.slow
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_flat_group_ln_custom_vjp_matches_autodiff(dtype):
+    """TPU.FLAT_LN_VJP: the hand-written FlatGroupLN backward equals
+    autodiff through the stats dots (forward is the identical expression)."""
+    from pmv_tpu.models.attention import FlatGroupLN
+
+    dt = jnp.float32 if dtype == "float32" else jnp.bfloat16
+    H, C = 2, 48
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 19, H * C)) * 2 + 0.5, dt)
+
+    ref = FlatGroupLN(heads=H, dtype=dt)
+    opt = FlatGroupLN(heads=H, dtype=dt, custom_grad=True)
+    p = ref.init(jax.random.PRNGKey(0), x)
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape), a.dtype), p
+    )
+
+    y_ref = ref.apply(p, x)
+    y_opt = opt.apply(p, x)
+    np.testing.assert_allclose(
+        np.asarray(y_ref, np.float32), np.asarray(y_opt, np.float32),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    def loss(mod, inp):
+        def f(params, xx):
+            return jnp.sum(mod.apply(params, xx).astype(jnp.float32) ** 2)
+        return f
+
+    tol = dict(rtol=2e-5, atol=2e-5) if dtype == "float32" else dict(
+        rtol=2e-2, atol=2e-1)
+    gp_ref, gx_ref = jax.grad(loss(ref, x), argnums=(0, 1))(p, x)
+    gp_opt, gx_opt = jax.grad(loss(opt, x), argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(
+        np.asarray(gx_ref, np.float32), np.asarray(gx_opt, np.float32), **tol
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), **tol
+        ),
+        gp_ref, gp_opt,
+    )

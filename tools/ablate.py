@@ -134,6 +134,8 @@ VARIANTS = {
     # batch-group sampling.
     "ra_perclip": lambda c: _set(c, [("AUG.RA_GROUPS", -1)]),
     "ra_groups2": lambda c: _set(c, [("AUG.RA_GROUPS", 2)]),
+    # Hand-written FlatGroupLN backward (round 3; exactness-tested).
+    "flat_ln_vjp": lambda c: _set(c, [("TPU.FLAT_LN_VJP", True)]),
     # Pools layout attack (round 3): the per-op profile attributes 15.7 ms
     # of the 30.4 ms pools bucket to flat<->grid<->heads relayout copies;
     # FLAT_POOLS keeps q/k/v in [B,N,H*C] through the pools.

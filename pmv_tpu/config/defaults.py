@@ -151,41 +151,33 @@ _C.MVIT.SEPARATE_QKV = False
 _C.MVIT.HEAD_INIT_SCALE = 1.0
 _C.MVIT.USE_MEAN_POOLING = False
 _C.MVIT.USE_FIXED_SINCOS_POS = False
-# TPU: use the Pallas fused attention kernel where shapes allow. The
-# tokens-major zero-copy kernel (ops/attention_pallas.py) beats the
-# bias-in-matmul XLA path standalone on most v5e geometries
-# (tools/micro_attn.py), but end-to-end only the 1-head block0 train
-# geometry wins (tools/ablate.py, see models/attention.py gates); the
-# per-geometry gates keep XLA everywhere it wins in the full step.
-_C.MVIT.USE_PALLAS_ATTENTION = True
 # TPU: hand-written depthwise conv kernel for the stride-1 3x3x3 pooling
 # convs. Off by default: measured SLOWER than XLA's grouped conv on v5e
 # (full step 200 vs 172 ms; kernel fwd 1.7 vs 0.3 ms at stage 1 — the
 # unaligned sublane taps dominate). Kept for further kernel work.
 _C.MVIT.USE_PALLAS_POOLS = False
-# Depthwise pool-conv lowering: "xla" grouped conv | "shift" lane-padded
-# shifted-MAC (no grouped-conv anywhere) | "custom_vjp" XLA fwd + hand bwd.
+# Depthwise pool-conv lowering: "xla"/"auto" grouped conv (the measured
+# winner) | "pallas" hand-written stride-1 3x3x3 kernel | "slice"
+# (diagnostic subsampling, wrong math — perf bounding only). The losing
+# lowerings from rounds 1-3 (shift/custom_vjp/ncdhw/window/token_shift)
+# were deleted; see ROADMAP.md dead ends and git history.
 _C.MVIT.POOL_CONV_IMPL = "xla"
 # Decimated K/V projection+pool for disjoint pool windows (stride >= kernel,
 # the POOL_KV_STRIDE_ADAPTIVE stage-1/2 geometries): project only the token
 # rows the strided conv reads (9/64 at stride 8). Exact; no grouped conv.
 _C.MVIT.SPARSE_KV_POOL = True
 
-# Run the K and V depthwise pool convs (and Q's too when its kernel/stride
-# match) as ONE grouped conv per block, with the K|V projection as one dot on
-# the contiguous weight slice. Exact same math and parameter tree; halves the
-# grouped-conv dispatch count (42 -> 26 convs/step on MViTv2-S 16x4).
-_C.MVIT.MERGED_POOLS = False
-
 # Keep q/k/v in the flat [B, N, heads*C] layout through the pools (per-head
 # 4-d form created once at the attention einsums); the pool-boundary
 # [B,N,H,C] <-> grid reshapes are physical relayout copies on TPU. Exact same
 # math and parameter tree (pool LayerNorm computed per C-block, FlatGroupLN).
 _C.MVIT.FLAT_POOLS = False
-# Per-host batch above which FLAT_POOLS silently falls back to the 4-d pool
-# layout: the flat lowering at batch 32 reliably crashes the remote TPU
-# compile helper (HTTP 500, round-3 probes) while every reference recipe
-# runs 4-12 clips/chip. 0 = no limit.
+# Per-DATA-SHARD batch above which FLAT_POOLS falls back to the 4-d pool
+# layout (the builder scales this by the data-axis size before comparing
+# against the global jit-traced batch, and logs once on fallback): the flat
+# lowering at batch 32/chip reliably crashed the remote TPU compile helper
+# (HTTP 500, round-3 probes) while every reference recipe runs 4-12
+# clips/chip. 0 = no limit.
 _C.MVIT.FLAT_POOLS_MAX_BATCH = 16
 # Attention einsum lowering: "batched" one bhqk einsum over (b, h) |
 # "per_head" head-sliced bqk einsums (no h<->q relayout of q/probs).
@@ -622,26 +614,10 @@ _C.TPU.PROFILE_DIR = ""
 # activation stash (attention matrices at N~25k) is what blows the HBM
 # budget at larger batch sizes.
 _C.TPU.REMAT_MIN_SEQ = 0
-# Fused MLP half-block Pallas kernel (LN2+fc1+gelu+fc2+droppath+residual in
-# one VMEM pass, recompute backward) for eligible MViT blocks.
-_C.TPU.FUSED_MLP = False
-# Patch-embed conv as space-to-depth + block matmuls (bit-equal; avoids
-# XLA's C=3-minor conv input relayout). Measured LOSS on v5e (the 8
-# strided partial dots cost more than the conv relayout) — default off.
-_C.TPU.S2D_STEM = False
-# Skip-path max pool with equality-mask backward instead of XLA's slow
-# select_and_scatter (same forward; gradient differs only on exact ties
-# inside a window — see ops/maxpool_eqgrad.py). Measured LOSS end-to-end
-# on v5e (95.5 vs 93.8 ms/step base): the phase-decomposed mask/shift
-# stack out-costs select_and_scatter at these geometries. Default off.
-_C.TPU.EQGRAD_SKIP_POOL = False
 # Patch-embed conv with spatial stride blocks folded into input channels
 # (3 -> sh*sw*3; weights re-embedded exactly, same param tree). Fixes the
 # ~4%-efficiency C_in=3 conv lowering: 97.4 -> 93.5 ms/step on v5e.
 _C.TPU.FOLD_STEM = True
-# Fused attention half-block Pallas kernel (scores+softmax+@v+residual-
-# pooling+proj in one VMEM pass, flash recompute backward).
-_C.TPU.FUSED_ATTN = False
 # Q-tiled (chunked) attention inside XLA: the scores/softmax/@V chain runs
 # per q-chunk of this many rows, so no [Nq, Nk] probs buffer is ever
 # materialized whole (block1 at bs 8 is 315 MB fwd+bwd). 0 = off. Applies
@@ -654,9 +630,10 @@ _C.TPU.ATTN_Q_CHUNK = 0
 _C.TPU.ATTN_CHUNK_REMAT = True
 # Hand-written backward for the flat-pool group LayerNorm (standard LN
 # gradient via the masked-matmul trick) instead of autodiff through the
-# E[x^2] stats chain. Exactness-tested; opt-in until the chip measurement
-# shows a win (tools/ablate.py flat_ln_vjp).
-_C.TPU.FLAT_LN_VJP = False
+# E[x^2] stats chain. Exactness-tested vs autodiff; measured WIN on v5e
+# (88.33 -> 87.60 ms/step at bs8, tools/ablate.py flat_ln_vjp, round 4) —
+# default on. Only active when MVIT.FLAT_POOLS selects FlatGroupLN.
+_C.TPU.FLAT_LN_VJP = True
 # Dtype for the fused on-device augmentation chain (RandAugment, erasing,
 # color jitter, normalize). The model casts to COMPUTE_DTYPE right after
 # preprocessing anyway, so "bfloat16" here only adds sub-quantization noise

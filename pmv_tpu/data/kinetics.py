@@ -106,18 +106,24 @@ class Kinetics:
         """First ``chunksize`` rows after ``self.skip_rows`` (stdlib stand-in
         for the reference's pandas chunked read, `kinetics.py:167-179`);
         wraps to the file start when the skip runs past EOF."""
-        rows = []
-        for i, line in enumerate(f):
-            if i < self.skip_rows:
-                continue
-            rows.append(line)
-            if len(rows) >= chunksize:
-                break
-        if not rows:
+        for attempt in range(2):
+            rows = []
+            for i, line in enumerate(f):
+                if i < self.skip_rows:
+                    continue
+                rows.append(line)
+                if len(rows) >= chunksize:
+                    break
+            if rows:
+                return rows
+            # Wrap once to the file start; a second empty pass means the
+            # split file itself has no rows — fail loudly, don't recurse.
             self.skip_rows = 0
             f.seek(0)
-            return self._get_chunk(f, chunksize)
-        return rows
+        raise RuntimeError(
+            f"{getattr(f, 'name', '<split file>')} yielded no rows "
+            "(empty split file?)"
+        )
 
     def _set_epoch_num(self, epoch):
         self.epoch = epoch

@@ -12,13 +12,18 @@ implementation, by design:
 - the portrait/landscape `hw_switch` (`attention.py:414-435`) is a static
   trace flag: the portrait specialization swaps the H/W tables, giving an
   exactly-equivalent program to the reference's per-sample branch.
-- attention itself is a dense bf16 QK^T -> +bias -> softmax -> @V; shapes for
-  MViTv2-S (q<=6272, kv<=98 after (1,8,8) KV pooling) favor one fused XLA
-  einsum chain; a Pallas flash kernel (pmv_tpu/ops) covers the large
-  early-stage sequences.
+- attention itself is a dense bf16 QK^T -> +bias -> softmax -> @V with the
+  rel-pos bias folded into the QK^T matmul via a 0/1 expansion matrix, and
+  an optional q-chunked lowering (ATTN_Q_CHUNK) that keeps the [Nq, Nk]
+  probs tensor from ever being materialized whole. Hand-written Pallas
+  attention/MLP kernels were built and measured across rounds 1-3 and LOST
+  to this XLA path end-to-end at every gating (pallas_call is a fusion
+  barrier; see ROADMAP.md dead-end ledger) — the XLA lowering IS the
+  production path by measurement, not by default.
 """
 
 import functools
+import logging
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -28,24 +33,9 @@ import numpy as np
 
 from pmv_tpu.models.common import DropPath, Mlp, max_pool_3d, avg_pool_3d, trunc_normal_init
 
-# Fused-attention sequence threshold, swept end-to-end on v5e (full-step
-# ms at bs 8: 1024 -> 183.4, 4096 -> 175.6, 20000 -> 176.8): the kernel
-# wins only for the large early-stage sequences; stage-3's Nq=1570 runs
-# faster on the XLA einsum path.
-FUSED_ATTENTION_MIN_Q = 4096
-# End-to-end v5e ablation (tools/ablate.py, bs 8): only the 1-head block0
-# train geometry wins in the full step (107.7 vs 108.3 ms); the wide-K
-# train kernel (111.4) and the eval kernel (46.4 vs 42.9 ms) LOSE despite
-# winning standalone (tools/micro_attn.py) — pallas_call is a fusion
-# barrier, and XLA fuses the surrounding projections/LN into its own
-# attention einsums. Gates encode exactly the winning case.
-FUSED_ATTENTION_TRAIN_MIN_K = 10 ** 9
-FUSED_ATTENTION_TRAIN_H1 = True   # train: use kernel for 1-head blocks
-FUSED_ATTENTION_EVAL = False      # eval: XLA path wins end-to-end
-# Fused attention+proj half-block (TPU.FUSED_ATTN): minimum Nq*Nk for the
-# kernel; below it the XLA path keeps the block (standalone per-geometry
-# numbers in tools/micro_fused.py; end-to-end decides the default).
-FUSED_BLOCK_MIN_SCORES = 0
+# One-shot (per process) notice that FLAT_POOLS fell back on batch size.
+_FLAT_FALLBACK_WARNED = []
+
 _DIAG_SKIP_POOL_LN = False  # diagnostic only
 # Diagnostics (wrong math, timing only — tools/ablate.py): price the
 # attention core (scores+softmax+@v+rel-pos) / the MLP branch inside the
@@ -75,18 +65,12 @@ class FusedQKVSplitDots(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, kv=None, merge=None, flat=False):
+    def __call__(self, x, kv=None, flat=False):
         """x: [B, N, C] tokens for the Q slice. When ``kv`` is given (the
         sparse-KV-pool path), the K/V slices project ``kv`` — a decimated
         token set [B, M, C] — instead of x; weights are unchanged, so this
         is exactly the reference projection restricted to the tokens the
-        strided pooling conv actually reads.
-
-        ``merge`` (merged-pool path, MVIT.MERGED_POOLS): "kv" returns
-        ``(q [B,N,H,C], kv [B,N,2,H,C])`` with K|V produced by ONE dot on
-        the contiguous W[:, D:3D] slice; "qkv" returns a single
-        ``[B,N,3,H,C]`` from the undivided dot. Bit-exact: slicing W's
-        columns commutes with the matmul."""
+        strided pooling conv actually reads."""
         B, N, in_dim = x.shape
         kernel = self.param(
             "kernel",
@@ -101,24 +85,6 @@ class FusedQKVSplitDots(nn.Module):
         x, kv, kernel, bias = nn.dtypes.promote_dtype(
             x, kv, kernel, bias, dtype=self.dtype
         )
-        if merge == "qkv":
-            assert kv is None
-            y = jnp.dot(x, kernel)
-            if bias is not None:
-                y = y + bias
-            return y.reshape(B, N, 3, self.num_heads, -1)
-        if merge == "kv":
-            assert kv is None
-            D = self.dim_out
-            q = jnp.dot(x, jax.lax.slice_in_dim(kernel, 0, D, axis=1))
-            kvm = jnp.dot(x, jax.lax.slice_in_dim(kernel, D, 3 * D, axis=1))
-            if bias is not None:
-                q = q + jax.lax.slice_in_dim(bias, 0, D, axis=0)
-                kvm = kvm + jax.lax.slice_in_dim(bias, D, 3 * D, axis=0)
-            return (
-                q.reshape(B, N, self.num_heads, -1),
-                kvm.reshape(B, N, 2, self.num_heads, -1),
-            )
         outs = []
         slices = []
         for i, src in enumerate((x, kv, kv) if kv is not None else (x, x, x)):
@@ -329,79 +295,34 @@ def decimate_pool_windows(x, thw, kernel, stride):
     return g, (Tp, Ph, Pw)
 
 
-def _token_shift_masks(thw, kernel, has_cls):
-    """Validity masks + flat offsets for a stride-1 SAME depthwise conv
-    computed directly on the flat token axis (cls row, if any, at 0).
+def _expansion_matrix(kt, kh, kw, nk, nkp, has_cls, with_rt):
+    """Ecat [KH+KW(+KT), NKP] 0/1 expansion matrix for folding the
+    decomposed rel-pos bias into the QK^T matmul.
 
-    For output grid token (t,h,w), tap (dt,dh,dw) reads flat index
-    n + dt*H*W + dh*W + dw — valid only when the 3-D source coordinate is
-    in range (this also excludes row-wrap aliases and the cls row).
-    Constants are built with numpy at trace time (~tens of KB).
-    """
-    T, H, W = thw
-    kt, kh, kw = kernel
-    n = T * H * W
-    c0 = 1 if has_cls else 0
-    t_i, h_i, w_i = np.unravel_index(np.arange(n), (T, H, W))
-    masks, offsets = [], []
-    for dt in range(-(kt // 2), kt - kt // 2):
-        for dh in range(-(kh // 2), kh - kh // 2):
-            for dw in range(-(kw // 2), kw - kw // 2):
-                valid = (
-                    (t_i + dt >= 0) & (t_i + dt < T)
-                    & (h_i + dh >= 0) & (h_i + dh < H)
-                    & (w_i + dw >= 0) & (w_i + dw < W)
-                )
-                m = np.zeros(c0 + n, np.float32)
-                m[c0:] = valid
-                masks.append(m)
-                offsets.append(dt * H * W + dh * W + dw)
-    return masks, offsets
-
-
-def _dw_token_shift(x, tiled, thw, kernel, has_cls, dtype):
-    """Stride-1 SAME depthwise conv as masked shifted FMAs over the flat
-    token axis: no grid reshape, no cls split/concat, no grouped-conv
-    lowering. x: [B, Ntot, F...] tokens (cls first when has_cls); tiled:
-    [kt, kh, kw, HC] per-channel taps. Exact same math as the grid conv
-    (invalid taps masked to zero = SAME zero padding); f32 accumulation
-    matches the conv's accumulator. Gradient is shifted FMAs again (pad
-    and slice transpose to each other).
-    """
-    B, ntot = x.shape[:2]
-    feats = int(np.prod(x.shape[2:]))
-    xf = x.reshape(B, ntot, feats)
-    masks, offsets = _token_shift_masks(thw, kernel, has_cls)
-    taps = tiled.reshape(-1, feats)
-    acc = None
-    for i, (m, off) in enumerate(zip(masks, offsets)):
-        if off > 0:
-            src = jnp.pad(xf[:, off:], ((0, 0), (0, off), (0, 0)))
-        elif off < 0:
-            src = jnp.pad(xf[:, :off], ((0, 0), (-off, 0), (0, 0)))
-        else:
-            src = xf
-        term = (
-            src
-            * jnp.asarray(m, dtype)[None, :, None]
-            * taps[i][None, None, :]
-        ).astype(jnp.float32)
-        acc = term if acc is None else acc + term
-    out = acc.astype(dtype)
-    if has_cls:
-        # cls bypasses pooling (masks already zeroed its output row).
-        out = out.at[:, :1].set(xf[:, :1].astype(dtype))
-    return out.reshape((B, ntot) + x.shape[2:])
+    k column j: 0 = cls (zero bias); j-1 = (t*KH + h)*KW + w; j >= nk is
+    padding. Built with numpy at trace time (a few KB)."""
+    off = 1 if has_cls else 0
+    l = kh + kw + (kt if with_rt else 0)
+    E = np.zeros((l, nkp), np.float32)
+    for t in range(kt):
+        for h in range(kh):
+            for w in range(kw):
+                j = off + (t * kh + h) * kw + w
+                E[h, j] = 1.0
+                E[kh + w, j] = 1.0
+                if with_rt:
+                    E[kh + kw + t, j] = 1.0
+    return E
 
 
 def _pool_conv(x, w, stride, padding):
     """Depthwise NDHWC conv (w [kt,kh,kw,1,C], groups = C).
 
-    Native XLA gradients, by measurement. The conv backward costs ~35 ms
-    of the 156 ms step on v5e, but every hand-rolled replacement measured
-    worse end-to-end: flip-kernel dx + Pallas single-pass dw for stride-1 =
-    162.6 ms, lhs-dilated strided dx = +20 ms (see ops/pool_conv.py, kept
-    for other backends/shapes).
+    Native XLA gradients, by measurement: every hand-rolled replacement
+    (flip-kernel dx + Pallas single-pass dw, lhs-dilated strided dx,
+    shifted-MAC, token-shift FMAs, disjoint-window lowering) measured worse
+    end-to-end on v5e across rounds 1-3 — see the ROADMAP.md dead-end
+    ledger; the losing implementations live in git history.
     """
     return jax.lax.conv_general_dilated(
         x, w, window_strides=tuple(stride), padding=padding,
@@ -679,36 +600,6 @@ class AttentionPool(nn.Module):
             x = _ln(x)
             return x, (T_out, Ph, Pw)
         T, Hh, Ww = thw_shape
-        if (
-            self.mode == "conv"
-            and self.pool_impl == "token_shift"
-            and all(s == 1 for s in self.stride)
-            and not self.use_pallas_pools
-            and not self.flat
-        ):
-            # Stride-1 pools in the flat tokens-major layout: masked
-            # shifted FMAs instead of cls-split + grid reshape + grouped
-            # conv. Measured LOSS end-to-end on v5e (96.4 -> 123.2 ms):
-            # the conv's weight gradient becomes 27 full-tensor
-            # multiply-reduces (tools/profile_step.py: pool mul:bwd 8.0 +
-            # reduce_sum:bwd 6.5 ms) — XLA's grouped-conv wgrad is
-            # compact. Kept as an explicit opt-in for other shapes.
-            B2, _, H2, C2 = x.shape
-            kernel = self.param(
-                "pool_kernel",
-                trunc_normal_init(0.02),
-                tuple(self.kernel) + (1, C2),
-            )
-            tiled = jnp.tile(kernel, (1, 1, 1, 1, H2)).astype(self.dtype)
-            x = _dw_token_shift(
-                x.astype(self.dtype), tiled, thw_shape, tuple(self.kernel),
-                self.has_cls_embed, self.dtype,
-            )
-            if not _DIAG_SKIP_POOL_LN:
-                x = nn.LayerNorm(
-                    epsilon=self.norm_eps, dtype=self.dtype, name="norm"
-                )(x)
-            return x, tuple(thw_shape)
         if self.has_cls_embed:
             cls_tok, x = x[:, :1], x[:, 1:]
         padding = [(k // 2, k // 2) for k in self.kernel]
@@ -743,45 +634,6 @@ class AttentionPool(nn.Module):
                 # convs inside the end-to-end step (ablate.py pool_slice).
                 st, sh, sw = self.stride
                 x = x[:, ::st, ::sh, ::sw].astype(self.dtype)
-            elif impl == "shift":
-                # Lane-padded shifted-MAC depthwise (ops/pool_conv.py
-                # dw_shifted): no grouped-conv lowering fwd or bwd.
-                from pmv_tpu.ops.pool_conv import dw_shifted
-
-                x = dw_shifted(
-                    x.astype(self.dtype), tiled.reshape(
-                        tuple(self.kernel) + (hc,)
-                    ), tuple(self.stride), padding,
-                )
-            elif impl == "custom_vjp":
-                from pmv_tpu.ops.pool_conv import pool_conv
-
-                x = pool_conv(
-                    x.astype(self.dtype), tiled, tuple(self.stride), padding
-                )
-            elif impl == "ncdhw":
-                # Depthwise conv with channels as a non-minor logical dim:
-                # the transpose from the tokens-major producer layout can
-                # then be layout-elided instead of materialized.
-                xg = jnp.transpose(x.astype(self.dtype), (0, 4, 1, 2, 3))
-                y = jax.lax.conv_general_dilated(
-                    xg, tiled, window_strides=tuple(self.stride),
-                    padding=padding,
-                    dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
-                    feature_group_count=hc,
-                )
-                x = jnp.transpose(y, (0, 2, 3, 4, 1))
-            elif impl == "window" and (
-                self.stride[0] == 1
-                and self.stride[1] >= self.kernel[1]
-                and self.stride[2] >= self.kernel[2]
-                and np.prod(self.stride) > 1
-            ):
-                from pmv_tpu.ops.pool_conv import dw_window
-
-                x = dw_window(
-                    x.astype(self.dtype), tiled, tuple(self.stride), padding
-                )
             elif (
                 impl == "pallas"
                 and on_tpu
@@ -837,62 +689,6 @@ class AttentionPool(nn.Module):
         return x, new_thw
 
 
-class PoolParamBank(nn.Module):
-    """Parameters of one AttentionPool (identical tree: ``pool_kernel`` +
-    ``norm``), used by the merged-pool path (MVIT.MERGED_POOLS) which runs
-    several pools as ONE grouped conv. Call with no argument to get the
-    depthwise kernel; call with the pooled tokens to apply the LayerNorm."""
-
-    kernel: Sequence[int]
-    C: int
-    dtype: jnp.dtype = jnp.float32
-    norm_eps: float = 1e-6
-
-    @nn.compact
-    def __call__(self, x=None):
-        w = self.param(
-            "pool_kernel", trunc_normal_init(0.02), tuple(self.kernel) + (1, self.C)
-        )
-        if x is None:
-            return w
-        if _DIAG_SKIP_POOL_LN:
-            return x
-        return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
-
-
-def _merged_pool_dw(z_heads, thw, kernel, stride, tiled_list, has_cls, dtype,
-                    pad_lanes):
-    """Pool G tensors sharing (kernel, stride) as ONE grouped conv.
-
-    z_heads: [B, N, G, H, C] (cls row included when has_cls; it bypasses the
-    conv as in AttentionPool). tiled_list: G head-tiled depthwise kernels
-    [kt, kh, kw, 1, H*C]. Returns ([B, N', H, C] per group (pre-LN), new_thw).
-    Identical math to G separate grouped convs: grouped conv is per-channel,
-    and the (g, h, c) channel fold matches the concatenated kernels."""
-    B, N, G, H, C = z_heads.shape
-    T, Hh, Ww = thw
-    if has_cls:
-        cls_tok, body = z_heads[:, :1], z_heads[:, 1:]
-    else:
-        cls_tok, body = None, z_heads
-    z = body.reshape(B, T, Hh, Ww, G * H * C)
-    tiled = jnp.concatenate(tiled_list, axis=-1).astype(dtype)
-    padding = [(k // 2, k // 2) for k in kernel]
-    ghc = G * H * C
-    ghc_pad = -(-ghc // 128) * 128 if pad_lanes else ghc
-    if ghc_pad != ghc:
-        z = jnp.pad(z, ((0, 0),) * 4 + ((0, ghc_pad - ghc),))
-        tiled = jnp.pad(tiled, ((0, 0),) * 3 + ((0, 0), (0, ghc_pad - ghc)))
-    y = _pool_conv(z.astype(dtype), tiled, tuple(stride), padding)
-    if ghc_pad != ghc:
-        y = y[..., :ghc]
-    new_thw = (y.shape[1], y.shape[2], y.shape[3])
-    y = y.reshape(B, -1, G, H, C)
-    if cls_tok is not None:
-        y = jnp.concatenate([cls_tok.astype(y.dtype), y], axis=1)
-    return [y[:, :, g] for g in range(G)], new_thw
-
-
 class MultiScaleAttention(nn.Module):
     """Pooling attention (`attention.py:166-461`), static-shape TPU variant."""
 
@@ -917,18 +713,17 @@ class MultiScaleAttention(nn.Module):
     # the (static) grid is portrait. On for BOTH orientations' programs
     # whenever the recipe enables SWITCH_AUTO (`video_model_builder.py:1786`).
     hw_switch: bool = False
-    use_pallas: bool = False  # fused attention kernel on TPU backends
     use_pallas_pools: bool = False  # hand-written depthwise pool kernel
     pool_impl: str = "xla"  # depthwise pool implementation (AttentionPool)
     sparse_kv: bool = True  # decimated K/V projection+pool when stride>=kernel
-    merged_pools: bool = False  # K+V (and Q when same geometry) as ONE conv
     flat_pools: bool = False  # q/k/v stay [B, N, H*C] through the pools
     flat_ln_vjp: bool = False  # custom FlatGroupLN backward (TPU.FLAT_LN_VJP)
-    flat_pools_max_batch: int = 16  # flat off above this B (compile-helper
-    # crash at bs32, round-3 probes; 0 = no limit). Layout-only: the param
-    # tree and math are identical either way.
+    # Flat pools off above this GLOBAL (jit-traced) batch; builders scale
+    # the per-data-shard config value by the data-axis size (mvit.py).
+    # Motivated by the compile-helper crash at bs32/chip (round-3 probes);
+    # 0 = no limit. Layout-only: param tree and math identical either way.
+    flat_pools_max_batch: int = 16
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
-    fused_attn: bool = False  # fused attention+proj half-block kernel
     attn_q_chunk: int = 0  # q-tiled attention chunk rows (0 = off)
     attn_chunk_remat: bool = True  # recompute chunk probs in backward
     dtype: jnp.dtype = jnp.float32
@@ -963,37 +758,6 @@ class MultiScaleAttention(nn.Module):
             and int(np.prod(self.stride_kv)) > 1
         )
 
-        # Merged dense pools (MVIT.MERGED_POOLS): K and V pools always share
-        # (kernel, stride), so run them as ONE grouped conv over the
-        # [B, T, H, W, 2*heads*C] fold — and fold Q in too when its geometry
-        # matches (stage transitions and stride-1 stage-4 blocks). Halves the
-        # grouped-conv dispatch count; exact same math and param tree
-        # (reference pools are independent per-channel convs,
-        # `attention.py:13-49`).
-        def _pool_identity(kern, strd):
-            return len(kern) == 0 or (
-                int(np.prod(kern)) == 1 and int(np.prod(strd)) == 1
-            )
-
-        use_merged_kv = (
-            self.merged_pools
-            and self.mode == "conv"
-            and not self.pool_first
-            and not self.separate_qkv
-            and not use_sparse_kv
-            and not self.use_pallas_pools
-            and self.pool_impl in ("xla", "auto")
-            and len(self.kernel_kv) > 0
-            and not _pool_identity(self.kernel_kv, self.stride_kv)
-        )
-        merge_q = (
-            use_merged_kv
-            and len(self.kernel_q) > 0
-            and not _pool_identity(self.kernel_q, self.stride_q)
-            and tuple(self.kernel_q) == tuple(self.kernel_kv)
-            and tuple(self.stride_q) == tuple(self.stride_kv)
-        )
-
         # Flat-pool layout (MVIT.FLAT_POOLS): q/k/v keep the projection's
         # [B, N, heads*C] shape through the pools; the per-head 4-d form is
         # created ONCE at the einsum boundary. The 4-d<->grid reshapes at
@@ -1008,65 +772,33 @@ class MultiScaleAttention(nn.Module):
             and self.mode == "conv"
             and self.pool_impl in ("xla", "auto")
             and not self.use_pallas_pools
-            and not use_merged_kv
             and (
                 self.flat_pools_max_batch <= 0
                 or B <= self.flat_pools_max_batch
             )
         )
+        if (
+            self.flat_pools
+            and not use_flat
+            and self.flat_pools_max_batch > 0
+            and B > self.flat_pools_max_batch
+            and not _FLAT_FALLBACK_WARNED
+        ):
+            # Trace-time (not per-step) notice: perf-only layout fallback.
+            _FLAT_FALLBACK_WARNED.append(True)
+            logging.getLogger(__name__).warning(
+                "FLAT_POOLS disabled at global batch %d > %d "
+                "(MVIT.FLAT_POOLS_MAX_BATCH x data shards); "
+                "falling back to the 4-d pool layout (layout-only).",
+                B, self.flat_pools_max_batch,
+            )
 
         # Tokens-major [B, N, heads, C] layout end-to-end: head split,
         # pool grids, and the final merge are all pure reshapes; the only
         # data movement XLA must schedule is inside the attention einsums.
         kv_grid = None
         bias_k = bias_v = None
-        if use_merged_kv:
-            pad_lanes = deterministic and jax.default_backend() == "tpu"
-            head_dim_c = self.dim_out // self.num_heads
-            bank_k = PoolParamBank(
-                kernel=self.kernel_kv, C=head_dim_c, dtype=self.dtype,
-                name="pool_k",
-            )
-            bank_v = PoolParamBank(
-                kernel=self.kernel_kv, C=head_dim_c, dtype=self.dtype,
-                name="pool_v",
-            )
-            tile_h = lambda w: jnp.tile(w, (1, 1, 1, 1, self.num_heads))
-            qkv_mod = FusedQKVSplitDots(
-                dim_out=self.dim_out, num_heads=self.num_heads,
-                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
-            )
-            if merge_q:
-                qkv_m = qkv_mod(x, merge="qkv")  # [B, N, 3, H, C]
-                bank_q = PoolParamBank(
-                    kernel=self.kernel_q, C=head_dim_c, dtype=self.dtype,
-                    name="pool_q",
-                )
-                parts, new_thw = _merged_pool_dw(
-                    qkv_m, thw_shape, self.kernel_kv, self.stride_kv,
-                    [tile_h(bank_q()), tile_h(bank_k()), tile_h(bank_v())],
-                    self.has_cls_embed, self.dtype, pad_lanes,
-                )
-                q, k, v = bank_q(parts[0]), bank_k(parts[1]), bank_v(parts[2])
-                q_shape = k_shape = v_shape = new_thw
-            else:
-                q, kvm = qkv_mod(x, merge="kv")  # q + [B, N, 2, H, C]
-                q, q_shape = AttentionPool(
-                    kernel=self.kernel_q, stride=self.stride_q,
-                    mode=self.mode, has_cls_embed=self.has_cls_embed,
-                    pad_lanes=pad_lanes,
-                    use_pallas_pools=self.use_pallas_pools,
-                    pool_impl=self.pool_impl,
-                    dtype=self.dtype, name="pool_q",
-                )(q, thw_shape)
-                parts, k_shape = _merged_pool_dw(
-                    kvm, thw_shape, self.kernel_kv, self.stride_kv,
-                    [tile_h(bank_k()), tile_h(bank_v())],
-                    self.has_cls_embed, self.dtype, pad_lanes,
-                )
-                k, v = bank_k(parts[0]), bank_v(parts[1])
-                v_shape = k_shape
-        elif self.pool_first:
+        if self.pool_first:
             fold = self.num_heads
             q = k = v = x.reshape(B, N, fold, -1)
         elif self.separate_qkv:
@@ -1091,41 +823,40 @@ class MultiScaleAttention(nn.Module):
                 use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
             )(x, flat=use_flat)
 
-        if not use_merged_kv:
-            # Lane padding is exact but only gradient-safe in eval graphs.
-            pad_lanes = deterministic and jax.default_backend() == "tpu"
-            q, q_shape = AttentionPool(
-                kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
-                has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
-                use_pallas_pools=self.use_pallas_pools,
-                pool_impl=self.pool_impl,
-                flat=use_flat, heads=self.num_heads,
-                flat_ln_vjp=self.flat_ln_vjp,
-                dtype=self.dtype, name="pool_q",
-            )(q, thw_shape)
-            k, k_shape = AttentionPool(
-                kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-                has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
-                use_pallas_pools=self.use_pallas_pools,
-                pool_impl=self.pool_impl,
-                flat=use_flat, heads=self.num_heads,
-                flat_ln_vjp=self.flat_ln_vjp,
-                dtype=self.dtype, name="pool_k",
-            )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
-            v, v_shape = AttentionPool(
-                kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-                has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
-                use_pallas_pools=self.use_pallas_pools,
-                pool_impl=self.pool_impl,
-                flat=use_flat, heads=self.num_heads,
-                flat_ln_vjp=self.flat_ln_vjp,
-                dtype=self.dtype, name="pool_v",
-            )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
-            if use_flat:
-                # One per-head unfold per tensor, at the einsum boundary.
-                q = q.reshape(B, q.shape[1], self.num_heads, head_dim)
-                k = k.reshape(B, k.shape[1], self.num_heads, head_dim)
-                v = v.reshape(B, v.shape[1], self.num_heads, head_dim)
+        # Lane padding is exact but only gradient-safe in eval graphs.
+        pad_lanes = deterministic and jax.default_backend() == "tpu"
+        q, q_shape = AttentionPool(
+            kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
+            flat=use_flat, heads=self.num_heads,
+            flat_ln_vjp=self.flat_ln_vjp,
+            dtype=self.dtype, name="pool_q",
+        )(q, thw_shape)
+        k, k_shape = AttentionPool(
+            kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
+            flat=use_flat, heads=self.num_heads,
+            flat_ln_vjp=self.flat_ln_vjp,
+            dtype=self.dtype, name="pool_k",
+        )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
+        v, v_shape = AttentionPool(
+            kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
+            flat=use_flat, heads=self.num_heads,
+            flat_ln_vjp=self.flat_ln_vjp,
+            dtype=self.dtype, name="pool_v",
+        )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
+        if use_flat:
+            # One per-head unfold per tensor, at the einsum boundary.
+            q = q.reshape(B, q.shape[1], self.num_heads, head_dim)
+            k = k.reshape(B, k.shape[1], self.num_heads, head_dim)
+            v = v.reshape(B, v.shape[1], self.num_heads, head_dim)
 
         if self.pool_first:
             def refold(t, t_shape, name):
@@ -1175,121 +906,15 @@ class MultiScaleAttention(nn.Module):
                 "rel_pos_t", init, (2 * self.input_size[0] - 1, head_dim)
             )
 
-        # Fused attention half-block (ops/attn_block_pallas): scores+softmax
-        # +@v + residual-pooling + output projection in one kernel — probs
-        # and the pre-projection context never touch HBM fwd or bwd.
-        fused_block = (
-            self.fused_attn
-            and self.rel_pos_spatial
-            and self.drop_rate == 0.0
-            and not self.pool_first
-            # Per-geometry frontier (tools/micro_fused.py on v5e): the
-            # kernel pays where the [Nq, Nk] matrix it keeps in VMEM is
-            # large; small-scores blocks keep XLA's fully-fused lowering.
-            and q.shape[1] * k.shape[1] >= FUSED_BLOCK_MIN_SCORES
-        )
-        if fused_block:
-            from pmv_tpu.models.common import DenseParamsHolder
-            from pmv_tpu.ops.attn_block_pallas import fused_attn_proj
-
-            k_t, k_h, k_w = k_shape
-            rh, rw = rel_q_tables_spatial(
-                q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
-            )
-            rt = (
-                rel_q_table_temporal(
-                    q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
-                )
-                if self.rel_pos_temporal
-                else None
-            )
-            if self.has_cls_embed:
-                pad_row = ((0, 0), (1, 0), (0, 0), (0, 0))
-                rh = jnp.pad(rh, pad_row)
-                rw = jnp.pad(rw, pad_row)
-                rt = jnp.pad(rt, pad_row) if rt is not None else None
-            wp, bp = DenseParamsHolder(
-                self.dim_out, self.dim_out, name="proj"
-            )()
-            x = fused_attn_proj(
-                q, k, v, rh, rw, rt,
-                wp, bp,
-                scale, k_t, k_h, k_w, self.has_cls_embed,
-                self.residual_pooling,
-            )
-            return x, q_shape
-
-        fused = (
-            self.use_pallas
-            and self.rel_pos_spatial
-            and jax.default_backend() == "tpu"
-            # The kernel pays off where the attention matrix is large; short
-            # sequences keep the XLA path (fewer kernel compilations).
-            and q.shape[1] >= FUSED_ATTENTION_MIN_Q
-            # Training (fwd+bwd) measured per geometry on v5e
-            # (tools/micro_attn.py): the flash-style recompute backward wins
-            # for 1-head blocks and wide pooled-K blocks, but loses to XLA's
-            # stored-probabilities backward when K is narrow and heads > 1
-            # (b2: 6.24 vs 5.12 ms). Eval uses the kernel everywhere above
-            # the Nq gate (wins all measured geometries).
-            and (
-                FUSED_ATTENTION_EVAL
-                if deterministic
-                else (
-                    (self.num_heads == 1 and FUSED_ATTENTION_TRAIN_H1)
-                    or k.shape[1] >= FUSED_ATTENTION_TRAIN_MIN_K
-                )
-            )
-        )
-        if fused and not deterministic:
-            # The backward kernel keeps f32 dk/dv resident across Q tiles;
-            # wide-K many-head geometries can exceed scoped VMEM.
-            from pmv_tpu.ops.attention_pallas import bwd_fits_vmem
-
-            fused = bwd_fits_vmem(k.shape[1], self.num_heads, q.shape[-1])
         if _DIAG_ATTENTION_IDENTITY:
             x = q  # [B, Nq', H, D] — same shape as the attention output
-        elif fused:
-            # Pallas fused attention: bias expanded in VMEM, the [Nq, Nk]
-            # attention matrix never touches HBM (pmv_tpu/ops). Operates on
-            # the tokens-major [B, N, H, D] layout in place — no transpose
-            # or pad copies of the (huge) Q-side tensors.
-            from pmv_tpu.ops.attention_pallas import fused_rel_attention
-
-            k_t, k_h, k_w = k_shape
-            rh, rw = rel_q_tables_spatial(
-                q, q_shape, k_shape, rp_h, rp_w, self.has_cls_embed
-            )
-            rt = (
-                rel_q_table_temporal(
-                    q, q_shape, k_shape, rel_pos_t, self.has_cls_embed
-                )
-                if self.rel_pos_temporal
-                else None
-            )
-            if self.has_cls_embed:
-                # cls row carries zero bias.
-                pad_row = ((0, 0), (1, 0), (0, 0), (0, 0))
-                rh = jnp.pad(rh, pad_row)
-                rw = jnp.pad(rw, pad_row)
-                rt = jnp.pad(rt, pad_row) if rt is not None else None
-
-            # s = (q*scale) @ k^T + bias, where the bias tables come from
-            # the *unscaled* q (reference semantics, `attention.py:413`).
-            x = fused_rel_attention(
-                q, k, v, rh, rw, rt,
-                scale, k_t, k_h, k_w, self.has_cls_embed,
-            )
         elif self.rel_pos_spatial:
             # Bias folded into the QK^T matmul: S = [q*scale | rcat] @
             # [k | E^T]^T where rcat = [rh|rw(|rt)] are the compact per-row
-            # rel tables and E the 0/1 expansion matrix (same trick as the
-            # Pallas kernel, ops/attention_pallas.py). The [Nq, Nk] bias is
-            # produced by the same MXU pass as QK^T (d 96+22 pads to one
+            # rel tables and E the 0/1 expansion matrix. The [Nq, Nk] bias
+            # is produced by the same MXU pass as QK^T (d 96+22 pads to one
             # 128-lane tile) and nothing but the attention matrix itself is
             # ever materialized. Exact: E entries are 0/1.
-            from pmv_tpu.ops.attention_pallas import _expansion_matrix
-
             k_t, k_h, k_w = k_shape
             nk = k.shape[1]
             rh, rw = rel_q_tables_spatial(
@@ -1306,7 +931,7 @@ class MultiScaleAttention(nn.Module):
             if self.has_cls_embed:
                 # cls query row carries zero bias.
                 rcat = jnp.pad(rcat, ((0, 0), (1, 0), (0, 0), (0, 0)))
-            E, _ = _expansion_matrix(
+            E = _expansion_matrix(
                 k_t, k_h, k_w, nk, nk, self.has_cls_embed,
                 with_rt=self.rel_pos_temporal,
             )
@@ -1422,20 +1047,15 @@ class MultiScaleBlock(nn.Module):
     dim_mul_in_att: bool = False
     separate_qkv: bool = False
     hw_switch: bool = False
-    use_pallas: bool = False
     use_pallas_pools: bool = False
     pool_impl: str = "xla"
     sparse_kv: bool = True
-    merged_pools: bool = False
     flat_pools: bool = False
     flat_pools_max_batch: int = 16
     flat_ln_vjp: bool = False
-    fused_mlp: bool = False
-    fused_attn: bool = False
     attn_impl: str = "batched"
     attn_q_chunk: int = 0
     attn_chunk_remat: bool = True
-    eqgrad_skip_pool: bool = False
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -1478,16 +1098,13 @@ class MultiScaleBlock(nn.Module):
             residual_pooling=self.residual_pooling,
             separate_qkv=self.separate_qkv,
             hw_switch=self.hw_switch,
-            use_pallas=self.use_pallas,
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             sparse_kv=self.sparse_kv,
-            merged_pools=self.merged_pools,
             flat_pools=self.flat_pools,
             flat_pools_max_batch=self.flat_pools_max_batch,
             flat_ln_vjp=self.flat_ln_vjp,
             attn_impl=self.attn_impl,
-            fused_attn=self.fused_attn,
             attn_q_chunk=self.attn_q_chunk,
             attn_chunk_remat=self.attn_chunk_remat,
             dtype=self.dtype,
@@ -1520,24 +1137,9 @@ class MultiScaleBlock(nn.Module):
             else:
                 toks = x
             toks = toks.reshape(B, T, H, W, C)
-            from pmv_tpu.ops.maxpool_eqgrad import (
-                _eligible, max_pool_3d_eqgrad,
+            toks = max_pool_3d(
+                toks, kernel_skip, self.stride_q, padding_skip
             )
-
-            if self.eqgrad_skip_pool and _eligible(
-                toks.shape, kernel_skip, self.stride_q, padding_skip
-            ):
-                # Same forward; equality-mask backward instead of
-                # select_and_scatter. Measured LOSS end-to-end on v5e
-                # (95.5 vs 93.8 ms/step) — opt-in only.
-                toks = max_pool_3d_eqgrad(
-                    toks, tuple(kernel_skip), tuple(self.stride_q),
-                    tuple(padding_skip),
-                )
-            else:
-                toks = max_pool_3d(
-                    toks, kernel_skip, self.stride_q, padding_skip
-                )
             toks = toks.reshape(B, -1, C)
             x_res = (
                 jnp.concatenate([cls_tok, toks], axis=1)
@@ -1555,43 +1157,7 @@ class MultiScaleBlock(nn.Module):
         if _DIAG_SKIP_MLP:
             return x, thw_shape_new
 
-        # Fused MLP half-block (ops/mlp_block_pallas): one pass over x, the
-        # [N, 4C] hidden never touches HBM, flash-style recompute backward.
-        # Eligibility mirrors exactly what the kernel implements.
         mlp_hidden = int(att_dim * self.mlp_ratio)
-        if (
-            self.fused_mlp
-            and self.drop_rate == 0.0
-            and self.layer_scale_init_value == 0
-            and (self.dim == self.dim_out or self.dim_mul_in_att)
-        ):
-            from pmv_tpu.ops.mlp_block_pallas import (
-                fits_vmem,
-                fused_mlp_residual,
-            )
-
-            if fits_vmem(att_dim, mlp_hidden):
-                from pmv_tpu.models.common import (
-                    DropPathMask,
-                    LNParamsHolder,
-                    MlpParamsHolder,
-                )
-
-                ln_s, ln_b = LNParamsHolder(att_dim, name="norm2")()
-                w1, b1, w2, b2 = MlpParamsHolder(
-                    att_dim, mlp_hidden, self.dim_out, name="mlp"
-                )()
-                dp = DropPathMask(self.drop_path, name="drop_path2")(
-                    x.shape[0], deterministic
-                )
-                x = fused_mlp_residual(
-                    x.astype(self.dtype),
-                    ln_s, ln_b,
-                    w1, b1, w2, b2,
-                    dp, self.norm_eps,
-                )
-                return x, thw_shape_new
-
         x_norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
         x_mlp = Mlp(
             hidden_features=mlp_hidden,

@@ -72,75 +72,6 @@ class DropPath(nn.Module):
         return drop_path(x, self.rate, deterministic, rng)
 
 
-class DropPathMask(nn.Module):
-    """DropPath as a per-sample multiplier [B] instead of an applied mask.
-
-    Used by fused-block kernels that apply the branch scale in VMEM. Same
-    module name + make_rng call sequence as DropPath => identical rng
-    stream, so fused and unfused paths drop the same samples.
-    """
-
-    rate: float = 0.0
-
-    @nn.compact
-    def __call__(self, batch, deterministic=True):
-        if self.rate == 0.0 or deterministic:
-            return jnp.ones((batch,), jnp.float32)
-        rng = self.make_rng("dropout")
-        keep = 1.0 - self.rate
-        mask = jax.random.bernoulli(rng, keep, (batch, 1, 1))
-        return mask.reshape(batch).astype(jnp.float32) / keep
-
-
-class LNParamsHolder(nn.Module):
-    """LayerNorm-compatible parameters (scale, bias) without the op —
-    fused kernels consume them directly; tree matches nn.LayerNorm."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return (
-            self.param("scale", nn.initializers.ones, (self.features,)),
-            self.param("bias", nn.initializers.zeros, (self.features,)),
-        )
-
-
-class DenseParamsHolder(nn.Module):
-    """nn.Dense-compatible parameters (kernel, bias) without the op."""
-
-    in_features: int
-    out_features: int
-
-    @nn.compact
-    def __call__(self):
-        return (
-            self.param(
-                "kernel", trunc_normal_init(0.02),
-                (self.in_features, self.out_features),
-            ),
-            self.param("bias", nn.initializers.zeros, (self.out_features,)),
-        )
-
-
-class MlpParamsHolder(nn.Module):
-    """Mlp-compatible parameter tree (fc1/fc2) without the ops."""
-
-    in_features: int
-    hidden_features: int
-    out_features: int
-
-    @nn.compact
-    def __call__(self):
-        w1, b1 = DenseParamsHolder(
-            self.in_features, self.hidden_features, name="fc1"
-        )()
-        w2, b2 = DenseParamsHolder(
-            self.hidden_features, self.out_features, name="fc2"
-        )()
-        return w1, b1, w2, b2
-
-
 class LayerNorm(nn.Module):
     """LayerNorm with torch-matching eps and f32 stats."""
 

@@ -28,6 +28,7 @@ from pmv_tpu.models.build import MODEL_REGISTRY
 from pmv_tpu.models.common import round_width, trunc_normal_init
 from pmv_tpu.models.heads import TransformerBasicHead
 from pmv_tpu.models.stem import PatchEmbed
+from pmv_tpu.parallel.mesh import data_shard_count
 
 
 def _compute_mvit_schedule(cfg):
@@ -193,7 +194,6 @@ class MViT(nn.Module):
             stride=cfg.MVIT.PATCH_STRIDE,
             padding=cfg.MVIT.PATCH_PADDING,
             conv_2d=cfg.MVIT.PATCH_2D,
-            use_s2d=cfg.TPU.S2D_STEM,
             use_fold=cfg.TPU.FOLD_STEM,
             dtype=self.dtype,
             name="patch_embed",
@@ -307,20 +307,19 @@ class MViT(nn.Module):
                     self.hw_switch
                     or cfg.DATA.TRAIN_CROP_SIZE_RECT_SWITCH_AUTO
                 ),
-                use_pallas=cfg.MVIT.USE_PALLAS_ATTENTION,
                 use_pallas_pools=cfg.MVIT.USE_PALLAS_POOLS,
                 pool_impl=cfg.MVIT.POOL_CONV_IMPL,
                 sparse_kv=cfg.MVIT.SPARSE_KV_POOL,
-                merged_pools=cfg.MVIT.MERGED_POOLS,
                 flat_pools=cfg.MVIT.FLAT_POOLS,
-                flat_pools_max_batch=cfg.MVIT.FLAT_POOLS_MAX_BATCH,
+                # The gate compares the global (jit-traced) batch, so the
+                # per-data-shard config limit scales by the data-axis size.
+                flat_pools_max_batch=(
+                    cfg.MVIT.FLAT_POOLS_MAX_BATCH * data_shard_count(cfg)
+                ),
                 flat_ln_vjp=cfg.TPU.FLAT_LN_VJP,
-                fused_mlp=cfg.TPU.FUSED_MLP,
-                fused_attn=cfg.TPU.FUSED_ATTN,
                 attn_impl=cfg.MVIT.ATTN_IMPL,
                 attn_q_chunk=cfg.TPU.ATTN_Q_CHUNK,
                 attn_chunk_remat=cfg.TPU.ATTN_CHUNK_REMAT,
-                eqgrad_skip_pool=cfg.TPU.EQGRAD_SKIP_POOL,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

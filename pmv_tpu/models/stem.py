@@ -10,69 +10,6 @@ import numpy as np
 from pmv_tpu.models.common import trunc_normal_init
 
 
-def _s2d_conv_applies(kernel, stride, padding):
-    """The space-to-depth lowering covers windows spanning <=2 stride
-    blocks per axis (kernel + in-window offset <= 2*stride)."""
-    return all(
-        k <= 2 * s and p <= s and s >= 1
-        for k, s, p in zip(kernel, stride, padding)
-    )
-
-
-def _s2d_patch_conv(x, w, b, kernel, stride, padding, dtype):
-    """3D patch-embed conv as space-to-depth + 8 accumulated matmuls.
-
-    XLA's TPU conv lowering relayouts the [B,T,H,W,3] input into a
-    batch-in-lanes / C-minor physical form whose tiles pad 3 channels to a
-    full lane tile — the single largest HBM copy in the train step (HLO
-    dump, `patch_embed/proj/convert_element_type`, est. 12 ms). Instead:
-    zero-pad, fold each stride block into the feature dim (one cheap
-    transpose with a 128-friendly minor), and compute each output token as
-    a sum over the <=8 neighbouring blocks of a dense [Cblk, Dout] dot —
-    pure MXU work on well-tiled tensors. Exactly equal to the conv (same
-    params; kernel taps embedded in zero-padded per-block weights).
-    Reference semantics: `MViT/slowfast/models/stem_helper.py` PatchEmbed.
-    """
-    bsz, t, h, wd, c = x.shape
-    (kt, kh, kw), (st, sh, sw), (pt, ph, pw) = kernel, stride, padding
-    to = (t + 2 * pt - kt) // st + 1
-    ho = (h + 2 * ph - kh) // sh + 1
-    wo = (wd + 2 * pw - kw) // sw + 1
-    dim_out = w.shape[-1]
-    # Pad left by the conv padding; pad right up to a whole number of
-    # blocks covering the last window (output o reads blocks o and o+1).
-    pads = []
-    for n, s, p, o in ((t, st, pt, to), (h, sh, ph, ho), (wd, sw, pw, wo)):
-        need = (o + 1) * s  # blocks 0..o inclusive
-        pads.append((p, need - n - p))
-    x = jnp.pad(x, ((0, 0), pads[0], pads[1], pads[2], (0, 0)))
-    nt, nh, nw = x.shape[1] // st, x.shape[2] // sh, x.shape[3] // sw
-    x = x.reshape(bsz, nt, st, nh, sh, nw, sw, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    cblk = st * sh * sw * c
-    x = x.reshape(bsz, nt, nh, nw, cblk).astype(dtype)
-    # Per-block weights: embed the [kt,kh,kw,c,Dout] kernel into the
-    # [2*st, 2*sh, 2*sw] two-block window (zeros beyond the taps), then
-    # split into the 8 (bt,bh,bw) block offsets.
-    wz = jnp.zeros((2 * st, 2 * sh, 2 * sw, c, dim_out), w.dtype)
-    wz = wz.at[:kt, :kh, :kw].set(w)
-    wz = wz.reshape(2, st, 2, sh, 2, sw, c, dim_out)
-    wz = wz.transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(2, 2, 2, cblk, dim_out)
-    wz = wz.astype(dtype)
-    y = None
-    for bt in range(2):
-        for bh in range(2):
-            for bw in range(2):
-                xs = x[:, bt : bt + to, bh : bh + ho, bw : bw + wo]
-                # f32 accumulation across the 8 partial dots matches the
-                # conv's single f32 accumulator.
-                part = jnp.dot(
-                    xs, wz[bt, bh, bw], preferred_element_type=jnp.float32
-                )
-                y = part if y is None else y + part
-    return (y + b.astype(jnp.float32)).astype(dtype)
-
-
 def _fold_applies(kernel, stride, padding):
     """Spatial fold needs each output window to span <=2 folded cells per
     spatial axis: kernel <= stride + padding and padding <= stride."""
@@ -161,7 +98,6 @@ class PatchEmbed(nn.Module):
     stride: Sequence[int]
     padding: Sequence[int]
     conv_2d: bool = False
-    use_s2d: bool = True
     use_fold: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -179,22 +115,6 @@ class PatchEmbed(nn.Module):
                 self.dim_out, tuple(self.kernel), x.shape[-1], name="proj"
             )()
             x = _fold_patch_conv(
-                x, w, b, tuple(self.kernel), tuple(self.stride),
-                tuple(self.padding), self.dtype,
-            )
-            thw = (x.shape[1], x.shape[2], x.shape[3])
-            return x.reshape(x.shape[0], -1, self.dim_out), thw
-        if (
-            self.use_s2d
-            and not self.conv_2d
-            and _s2d_conv_applies(self.kernel, self.stride, self.padding)
-        ):
-            # Same param tree as nn.Conv(name="proj") so checkpoints and
-            # importers are unchanged.
-            w, b = _ProjParams(
-                self.dim_out, tuple(self.kernel), x.shape[-1], name="proj"
-            )()
-            x = _s2d_patch_conv(
                 x, w, b, tuple(self.kernel), tuple(self.stride),
                 tuple(self.padding), self.dtype,
             )

@@ -147,34 +147,8 @@ class CBlock(nn.Module):
 def _mlp_tail(block, tok, det):
     """[norm2 -> Mlp -> drop_path2 -> residual] tail shared by SA blocks.
 
-    Uses the fused VMEM kernel (ops/mlp_block_pallas) when enabled and
-    eligible; identical param tree and dropout rng stream either way.
     """
     hidden = int(block.dim * block.mlp_ratio)
-    if block.fused_mlp and block.drop == 0.0:
-        from pmv_tpu.ops.mlp_block_pallas import (
-            fits_vmem,
-            fused_mlp_residual,
-        )
-
-        if fits_vmem(block.dim, hidden):
-            from pmv_tpu.models.common import (
-                DropPathMask,
-                LNParamsHolder,
-                MlpParamsHolder,
-            )
-
-            ln_s, ln_b = LNParamsHolder(block.dim, name="norm2")()
-            w1, b1, w2, b2 = MlpParamsHolder(
-                block.dim, hidden, block.dim, name="mlp"
-            )()
-            dp = DropPathMask(block.drop_path, name="drop_path2")(
-                tok.shape[0], det
-            )
-            return fused_mlp_residual(
-                tok.astype(block.dtype), ln_s, ln_b, w1, b1, w2, b2, dp,
-                1e-6,
-            )
     from pmv_tpu.models.common import Mlp
 
     h = nn.LayerNorm(epsilon=1e-6, dtype=block.dtype, name="norm2")(tok)
@@ -199,7 +173,6 @@ class SABlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
-    fused_mlp: bool = False
     attn_impl: str = "batched"
     dtype: jnp.dtype = jnp.float32
 
@@ -235,7 +208,6 @@ class SplitSABlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
-    fused_mlp: bool = False
     attn_impl: str = "batched"
     dtype: jnp.dtype = jnp.float32
 
@@ -368,7 +340,6 @@ class Uniformer(nn.Module):
                 dim=embed_dim[2], num_heads=num_heads[2], mlp_ratio=mlp_ratio,
                 qkv_bias=qkv_bias, qk_scale=qk_scale, drop=drop_rate,
                 attn_drop=attn_drop, drop_path=dpr[i + depth[0] + depth[1]],
-                fused_mlp=cfg.TPU.FUSED_MLP,
                 attn_impl=cfg.UNIFORMER.ATTN_IMPL,
                 dtype=self.dtype, name=f"blocks3.{i}",
             )(x, train=train)
@@ -382,7 +353,6 @@ class Uniformer(nn.Module):
                 qkv_bias=qkv_bias, qk_scale=qk_scale, drop=drop_rate,
                 attn_drop=attn_drop,
                 drop_path=dpr[i + depth[0] + depth[1] + depth[2]],
-                fused_mlp=cfg.TPU.FUSED_MLP,
                 attn_impl=cfg.UNIFORMER.ATTN_IMPL,
                 dtype=self.dtype, name=f"blocks4.{i}",
             )(x, train=train)

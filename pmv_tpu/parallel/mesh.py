@@ -102,6 +102,26 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def data_shard_count(cfg):
+    """Size of the 'data' mesh axis the train/eval step will run under.
+
+    Model code sees the *global* (jit-traced) batch; per-shard gates (e.g.
+    MVIT.FLAT_POOLS_MAX_BATCH) must be scaled by this before comparing."""
+    try:
+        n = jax.device_count()
+    except Exception:  # pragma: no cover - no backend at build time
+        return 1
+    if cfg is None:
+        return n
+    if cfg.TPU.MESH_SHAPE:
+        axes = list(cfg.TPU.MESH_AXES)
+        if "data" in axes:
+            return int(cfg.TPU.MESH_SHAPE[axes.index("data")])
+    if cfg.TPU.SHARD_STRATEGY == "dp_sp" and n % 2 == 0:
+        return n // 2
+    return n
+
+
 def param_sharding(mesh, x):
     """FSDP-style (ZeRO-3) sharding rule: shard the largest axis of big
     parameters over 'data'; small tensors stay replicated. GSPMD turns the

@@ -82,7 +82,10 @@ def save_checkpoint(path_to_job, state, epoch, cfg, extra=None):
         try:
             ckptr.save(os.path.abspath(path), payload, force=True)
             break
-        except ValueError:
+        # tensorstore/orbax surface transient commit failures variously as
+        # ValueError, OSError/FileNotFoundError, or library-specific types;
+        # the write is atomic either way, so retry once on anything.
+        except Exception:
             if attempt:
                 raise
             logger.warning("checkpoint save failed; retrying once: %s", path)

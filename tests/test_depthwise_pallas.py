@@ -58,7 +58,6 @@ def test_pallas_pools_in_model_match_xla_path():
         # Block 0 q-pool: kernel 3x3x3 stride (1,1,1) -> Pallas path.
         cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
         cfg.MVIT.RESIDUAL_POOLING = True
-        cfg.MVIT.USE_PALLAS_ATTENTION = False
         cfg.MVIT.USE_PALLAS_POOLS = pallas_pools
         return cfg
 
@@ -98,104 +97,6 @@ def test_depthwise_gradients_match_xla():
     gx_ref, gw_ref = jax.grad(loss_xla, (0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx_pl), np.asarray(gx_ref), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_ref), atol=1e-3)
-
-
-def test_shift_pool_impl_in_model_matches_xla():
-    """MVIT.POOL_CONV_IMPL='shift' must match the XLA grouped-conv path,
-    values and gradients (it changes lowering, not math)."""
-    import numpy as np
-
-    from pmv_tpu.config import get_cfg
-    from pmv_tpu.models import build_model
-
-    def cfg_with(impl):
-        cfg = get_cfg()
-        cfg.MODEL.MODEL_NAME = "MViT"
-        cfg.MODEL.ARCH = "mvit"
-        cfg.MODEL.NUM_CLASSES = 4
-        cfg.DATA.NUM_FRAMES = 4
-        cfg.DATA.TRAIN_CROP_SIZE = 16
-        cfg.DATA.TEST_CROP_SIZE = 16
-        cfg.MVIT.DEPTH = 2
-        cfg.MVIT.EMBED_DIM = 8
-        cfg.MVIT.USE_ABS_POS = False
-        cfg.MVIT.REL_POS_SPATIAL = True
-        cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
-        cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 2, 2]
-        cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
-        cfg.MVIT.RESIDUAL_POOLING = True
-        cfg.MVIT.USE_PALLAS_ATTENTION = False
-        cfg.MVIT.POOL_CONV_IMPL = impl
-        return cfg
-
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16, 3))
-    m_xla = build_model(cfg_with("xla"), dtype=jnp.float32)
-    variables = m_xla.init(jax.random.PRNGKey(0), x, train=False)
-    m_shift = build_model(cfg_with("shift"), dtype=jnp.float32)
-
-    out_xla = m_xla.apply(variables, x, train=False)
-    out_shift = m_shift.apply(variables, x, train=False)
-    np.testing.assert_allclose(
-        np.asarray(out_shift), np.asarray(out_xla), atol=1e-4
-    )
-
-    def loss(m):
-        return lambda v: jnp.sum(m.apply(v, x, train=False) ** 2)
-
-    g_xla = jax.grad(loss(m_xla))(variables)
-    g_shift = jax.grad(loss(m_shift))(variables)
-    for a, b in zip(jax.tree.leaves(g_shift), jax.tree.leaves(g_xla)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
-
-
-def test_auto_window_pool_impl_in_model_matches_xla():
-    """MVIT.POOL_CONV_IMPL='window' (disjoint-window lowering; KV pools
-    with stride >= kernel) must match the XLA path, values and grads.
-    Falls back to XLA for the window-ineligible q pools."""
-    import numpy as np
-
-    from pmv_tpu.config import get_cfg
-    from pmv_tpu.models import build_model
-
-    def cfg_with(impl):
-        cfg = get_cfg()
-        cfg.MODEL.MODEL_NAME = "MViT"
-        cfg.MODEL.ARCH = "mvit"
-        cfg.MODEL.NUM_CLASSES = 4
-        cfg.DATA.NUM_FRAMES = 4
-        cfg.DATA.TRAIN_CROP_SIZE = 32
-        cfg.DATA.TEST_CROP_SIZE = 32
-        cfg.MVIT.DEPTH = 2
-        cfg.MVIT.EMBED_DIM = 8
-        cfg.MVIT.NUM_HEADS = 2
-        cfg.MVIT.USE_ABS_POS = False
-        cfg.MVIT.REL_POS_SPATIAL = True
-        cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
-        cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 4, 4]  # window-eligible
-        cfg.MVIT.POOL_Q_STRIDE = [[0, 1, 1, 1], [1, 1, 2, 2]]
-        cfg.MVIT.RESIDUAL_POOLING = True
-        cfg.MVIT.USE_PALLAS_ATTENTION = False
-        cfg.MVIT.POOL_CONV_IMPL = impl
-        return cfg
-
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32, 3))
-    m_xla = build_model(cfg_with("xla"), dtype=jnp.float32)
-    variables = m_xla.init(jax.random.PRNGKey(0), x, train=False)
-    m_win = build_model(cfg_with("window"), dtype=jnp.float32)
-
-    out_xla = m_xla.apply(variables, x, train=False)
-    out_win = m_win.apply(variables, x, train=False)
-    np.testing.assert_allclose(
-        np.asarray(out_win), np.asarray(out_xla), atol=1e-4
-    )
-
-    def loss(m):
-        return lambda v: jnp.sum(m.apply(v, x, train=False) ** 2)
-
-    g_xla = jax.grad(loss(m_xla))(variables)
-    g_win = jax.grad(loss(m_win))(variables)
-    for a, b in zip(jax.tree.leaves(g_win), jax.tree.leaves(g_xla)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
 # Model-compile / multi-minute tier: excluded from the default

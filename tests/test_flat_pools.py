@@ -1,10 +1,10 @@
-"""MVIT.MERGED_POOLS: K+V (and Q when geometry matches) pooled as ONE
-grouped conv must be bit-compatible with the separate AttentionPool path —
-same parameter tree, same forward values, same gradients.
+"""MVIT.FLAT_POOLS / FlatGroupLN: the flat [B, N, heads*C] pool layout
+must be bit-compatible with the 4-d per-head AttentionPool path — same
+parameter tree, same forward values, same gradients.
 
 Reference behavior being preserved: independent per-tensor depthwise pool
-convs (`MViT/slowfast/models/attention.py:13-49`); the merge is a pure
-TPU-side dispatch optimization.
+convs + LayerNorm (`MViT/slowfast/models/attention.py:13-49`); the flat
+layout is a pure TPU-side relayout optimization.
 """
 
 import jax
@@ -17,7 +17,7 @@ from pmv_tpu.models.attention import MultiScaleAttention
 jax.config.update("jax_enable_x64", False)
 
 
-def _make(merged, stride_q, stride_kv, has_cls, heads=2, dim=32, flat=False,
+def _make(stride_q, stride_kv, has_cls, heads=2, dim=32, flat=False,
           sparse=False):
     return MultiScaleAttention(
         dim_out=dim,
@@ -34,7 +34,6 @@ def _make(merged, stride_q, stride_kv, has_cls, heads=2, dim=32, flat=False,
         rel_pos_temporal=True,
         residual_pooling=True,
         sparse_kv=sparse,
-        merged_pools=merged,
         flat_pools=flat,
         dtype=jnp.float32,
     )
@@ -46,52 +45,6 @@ CASES = [
     ((1, 2, 2), (1, 2, 2), True),
     ((1, 1, 1), (1, 1, 1), False),
 ]
-
-
-@pytest.mark.parametrize("stride_q,stride_kv,has_cls", CASES)
-def test_merged_pools_exact(stride_q, stride_kv, has_cls):
-    thw = (4, 8, 8)
-    n = int(np.prod(thw)) + (1 if has_cls else 0)
-    x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(2, n, 32)), jnp.float32
-    )
-
-    ref = _make(False, stride_q, stride_kv, has_cls)
-    opt = _make(True, stride_q, stride_kv, has_cls)
-    params = ref.init(jax.random.PRNGKey(0), x, thw, deterministic=True)
-
-    # Identical parameter trees (names and shapes) — checkpoints interchange.
-    flat_r = jax.tree_util.tree_map(lambda a: a.shape, params)
-    params_o = opt.init(jax.random.PRNGKey(0), x, thw, deterministic=True)
-    flat_o = jax.tree_util.tree_map(lambda a: a.shape, params_o)
-    assert jax.tree_util.tree_structure(flat_r) == jax.tree_util.tree_structure(
-        flat_o
-    )
-    assert flat_r == flat_o
-
-    y_ref, s_ref = ref.apply(params, x, thw, deterministic=True)
-    y_opt, s_opt = opt.apply(params, x, thw, deterministic=True)
-    assert s_ref == s_opt
-    np.testing.assert_allclose(
-        np.asarray(y_ref), np.asarray(y_opt), rtol=1e-5, atol=1e-5
-    )
-
-    def loss(mod):
-        def f(p):
-            y, _ = mod.apply(p, x, thw, deterministic=True)
-            return jnp.sum(y * y)
-
-        return f
-
-    g_ref = jax.grad(loss(ref))(params)
-    g_opt = jax.grad(loss(opt))(params)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
-        ),
-        g_ref,
-        g_opt,
-    )
 
 
 @pytest.mark.parametrize("stride_q,stride_kv,has_cls", CASES)
@@ -109,8 +62,8 @@ def test_flat_pools_exact(stride_q, stride_kv, has_cls, sparse):
         np.random.default_rng(2).normal(size=(2, n, 32)), jnp.float32
     )
     kv4 = (1, 4, 4) if sparse else stride_kv
-    ref = _make(False, stride_q, kv4, has_cls, sparse=sparse)
-    opt = _make(False, stride_q, kv4, has_cls, sparse=sparse, flat=True)
+    ref = _make(stride_q, kv4, has_cls, sparse=sparse)
+    opt = _make(stride_q, kv4, has_cls, sparse=sparse, flat=True)
     params = ref.init(jax.random.PRNGKey(0), x, thw, deterministic=True)
     shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
     shapes_o = jax.tree_util.tree_map(
@@ -183,52 +136,6 @@ def test_flat_pools_full_model_parity():
     y_ref = model.apply(params, x, train=False)
 
     cfg.MVIT.FLAT_POOLS = True
-    model_m = build_model(cfg)
-    y_opt = model_m.apply(params, x, train=False)
-    np.testing.assert_allclose(
-        np.asarray(y_ref), np.asarray(y_opt), rtol=1e-5, atol=1e-5
-    )
-
-
-def test_merged_pools_full_model_parity():
-    """End-to-end MViT logits with MERGED_POOLS on == off (tiny config)."""
-    from pmv_tpu.config.defaults import get_cfg
-    from pmv_tpu.models import build_model
-
-    cfg = get_cfg()
-    cfg.MODEL.MODEL_NAME = "MViT"
-    cfg.MODEL.ARCH = "mvit"
-    cfg.MODEL.NUM_CLASSES = 7
-    cfg.DATA.NUM_FRAMES = 4
-    cfg.DATA.TRAIN_CROP_SIZE = 32
-    cfg.DATA.TEST_CROP_SIZE = 32
-    cfg.MVIT.DEPTH = 4
-    cfg.MVIT.EMBED_DIM = 16
-    cfg.MVIT.NUM_HEADS = 1
-    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
-    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 4, 4]
-    cfg.MVIT.POOL_Q_STRIDE = [
-        [0, 1, 1, 1], [1, 1, 2, 2], [2, 1, 1, 1], [3, 1, 2, 2]
-    ]
-    cfg.MVIT.DIM_MUL = [[1, 2.0], [3, 2.0]]
-    cfg.MVIT.HEAD_MUL = [[1, 2.0], [3, 2.0]]
-    cfg.MVIT.RESIDUAL_POOLING = True
-    cfg.MVIT.DIM_MUL_IN_ATT = True
-    cfg.MVIT.MODE = "conv"
-    cfg.MVIT.CLS_EMBED_ON = True
-    cfg.MVIT.SPARSE_KV_POOL = True  # sparse path must coexist with merged
-    cfg.TPU.COMPUTE_DTYPE = "float32"
-
-    x = jnp.asarray(
-        np.random.default_rng(1).normal(size=(2, 3, 4, 32, 32)), jnp.float32
-    )
-
-    cfg.MVIT.MERGED_POOLS = False
-    model = build_model(cfg)
-    params = model.init(jax.random.PRNGKey(0), x, train=False)
-    y_ref = model.apply(params, x, train=False)
-
-    cfg.MVIT.MERGED_POOLS = True
     model_m = build_model(cfg)
     y_opt = model_m.apply(params, x, train=False)
     np.testing.assert_allclose(

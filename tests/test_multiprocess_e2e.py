@@ -123,8 +123,12 @@ def test_two_process_train_and_test(tmp_path, tmp_path_factory, strategy):
     # for every strategy.
     acc1 = dict(_single_proc_acc(tmp_path_factory, "tiny_synthetic.yaml"))
     assert set(acc1) == set(acc2)
-    assert acc2["top1_acc"] == acc1["top1_acc"], (strategy, acc1, acc2)
-    assert acc2["top5_acc"] == acc1["top5_acc"], (strategy, acc1, acc2)
+    # Sharding is layout-only on the CPU virtual mesh, but reduction order
+    # (psum/reduce-scatter trees) may legitimately differ per backend, so
+    # compare as floats with a tight tolerance rather than string-exact.
+    for k in ("top1_acc", "top5_acc"):
+        d = abs(float(acc2[k]) - float(acc1[k]))
+        assert d <= 0.01, (strategy, k, acc1, acc2)
 
 
 @pytest.mark.slow

@@ -47,7 +47,6 @@ VARIANTS = {
         c, [("MIXUP.ENABLE", False), ("MODEL.LOSS_FUNC", "cross_entropy")]
     ),
     "eval_fwd": lambda c: c,  # handled specially: eval step
-    "attn_xla": lambda c: _set(c, [("MVIT.USE_PALLAS_ATTENTION", False)]),
     "pools_max": lambda c: _set(c, [("MVIT.MODE", "max")]),
     "no_relpos": lambda c: _set(
         c, [("MVIT.REL_POS_SPATIAL", False), ("MVIT.REL_POS_TEMPORAL", False)]
@@ -70,8 +69,6 @@ VARIANTS = {
     "rbg_aug_bf16": lambda c: _set(
         c, [("TPU.PRNG_IMPL", "rbg"), ("TPU.PREPROCESS_DTYPE", "bfloat16")]
     ),
-    "merged_pools": lambda c: _set(c, [("MVIT.MERGED_POOLS", True)]),
-    "eval_merged_pools": lambda c: _set(c, [("MVIT.MERGED_POOLS", True)]),
     "flat_pools": lambda c: _set(c, [("MVIT.FLAT_POOLS", True)]),
     "eval_flat_pools": lambda c: _set(c, [("MVIT.FLAT_POOLS", True)]),
     "remat": lambda c: _set(c, [("MODEL.ACT_CHECKPOINT", True)]),
@@ -82,50 +79,21 @@ VARIANTS = {
     "remat12": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
     "remat12_bs32": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
     "remat12_bs64": lambda c: _set(c, [("TPU.REMAT_MIN_SEQ", 5000)]),
-    # Fused-attention isolation (module-constant overrides, see time_variant)
-    "xla_attn": lambda c: _set(c, [("MVIT.USE_PALLAS_ATTENTION", False)]),
-    "attn_pl_b0": lambda c: c,      # train kernel on block0 (h==1) only
-    "attn_pl_b1": lambda c: c,      # train kernel on wide-K (block1) only
-    "attn_pl_evalonly": lambda c: c,  # kernel in eval graphs only
-    "eval_fwd_xla": lambda c: _set(
-        c, [("MVIT.USE_PALLAS_ATTENTION", False)]
-    ),  # handled specially: eval step
     "no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
     # DIAGNOSTIC (wrong math, timing only): attention core -> identity /
     # MLP branch removed — prices each inside the full step.
     "diag_attn_ident": lambda c: c,
     "diag_skip_mlp": lambda c: c,
     "diag_skip_attn_branch": lambda c: c,
-    "conv_stem": lambda c: _set(c, [("TPU.S2D_STEM", False)]),
-    "eval_conv_stem": lambda c: _set(c, [("TPU.S2D_STEM", False)]),
     "fold_stem": lambda c: _set(c, [("TPU.FOLD_STEM", True)]),
     "eval_fold_stem": lambda c: _set(c, [("TPU.FOLD_STEM", True)]),
     "no_fold_stem": lambda c: _set(c, [("TPU.FOLD_STEM", False)]),
-    "no_eqgrad_pool": lambda c: _set(c, [("TPU.EQGRAD_SKIP_POOL", False)]),
     # DIAGNOSTIC (different model: no cls token, mean-pool head): bounds
     # the cost of the cls split/concat copies around every pool.
     "diag_no_cls": lambda c: _set(c, [("MVIT.CLS_EMBED_ON", False)]),
     "bs4": lambda c: c,
-    "fused_mlp": lambda c: _set(c, [("TPU.FUSED_MLP", True)]),
-    "eval_fused_mlp": lambda c: _set(c, [("TPU.FUSED_MLP", True)]),
-    "fused_attn": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
-    "eval_fused_attn": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
-    # Per-geometry frontier sweep: MIN_SCORES 2e6 keeps b0/b1/b2/b3 on the
-    # kernel (drops s3 x10 + b14 x2); 4e6 keeps only b0/b1.
-    "fused_attn_ge2m": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
-    "fused_attn_ge4m": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
-    "fused_attn_ge2m_bs32": lambda c: _set(c, [("TPU.FUSED_ATTN", True)]),
-    "fused_both": lambda c: _set(
-        c, [("TPU.FUSED_ATTN", True), ("TPU.FUSED_MLP", True)]
-    ),
-    "eval_fused_both": lambda c: _set(
-        c, [("TPU.FUSED_ATTN", True), ("TPU.FUSED_MLP", True)]
-    ),
     "per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
     "eval_per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
-    "per_head_fused_mlp": lambda c: _set(
-        c, [("MVIT.ATTN_IMPL", "per_head"), ("TPU.FUSED_MLP", True)]
-    ),
     "eval_diag_attn_ident": lambda c: c,
     "eval_no_sparse_kv": lambda c: _set(c, [("MVIT.SPARSE_KV_POOL", False)]),
     # RandAugment chain granularity: per-clip (reference sampling,
@@ -165,10 +133,7 @@ VARIANTS = {
     "eval_chunk1k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 1024)]),
     "eval_chunk2k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
-    "ncdhw_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "ncdhw")]),
-    "shift_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "shift")]),
     "auto_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "auto")]),
-    "cvjp_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "custom_vjp")]),
 }
 
 
@@ -206,16 +171,6 @@ def time_variant(name):
     from pmv_tpu.models import build_model
     from pmv_tpu.parallel import mesh as mesh_lib
 
-    if name.startswith("attn_pl_"):
-        attn_mod.FUSED_ATTENTION_TRAIN_H1 = name == "attn_pl_b0"
-        attn_mod.FUSED_ATTENTION_TRAIN_MIN_K = (
-            1024 if name == "attn_pl_b1" else 10 ** 9
-        )
-        attn_mod.FUSED_ATTENTION_EVAL = name == "attn_pl_evalonly"
-    attn_mod.FUSED_BLOCK_MIN_SCORES = (
-        2 * 10 ** 6 if "_ge2m" in name else
-        4 * 10 ** 6 if "_ge4m" in name else 0
-    )
     attn_mod._DIAG_ATTENTION_IDENTITY = name.endswith("diag_attn_ident")
     attn_mod._DIAG_SKIP_MLP = name == "diag_skip_mlp"
     attn_mod._DIAG_SKIP_ATTN_BRANCH = name == "diag_skip_attn_branch"
@@ -225,7 +180,6 @@ def time_variant(name):
         "bs4": 4, "bs16": 16, "bs32": 32, "bs64": 64,
         "remat_bs16": 16, "remat_bs32": 32, "remat_bs64": 64,
         "remat12_bs32": 32, "remat12_bs64": 64,
-        "fused_attn_ge2m_bs32": 32,
         "chunk1k_bs32": 32, "chunk2k_bs32": 32,
         "chunk1k_bs64": 64, "chunk2k_bs64": 64,
         "chunk512_bs64": 64, "chunk512_bs48": 48,

@@ -67,7 +67,6 @@ def main():
             rel_pos_temporal=cfg.MVIT.REL_POS_TEMPORAL,
             residual_pooling=cfg.MVIT.RESIDUAL_POOLING,
             dim_mul_in_att=cfg.MVIT.DIM_MUL_IN_ATT,
-            use_pallas=cfg.MVIT.USE_PALLAS_ATTENTION,
             use_pallas_pools=cfg.MVIT.USE_PALLAS_POOLS,
             dtype=jnp.bfloat16,
         )

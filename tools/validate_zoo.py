@@ -89,7 +89,15 @@ def run(args):
 
     stats = test(cfg)
     if isinstance(stats, list):  # dense-crop sweep returns per-ratio stats
-        stats = stats[-1]
+        stats = max(
+            stats, key=lambda s: float(s.get("top1_acc", float("-inf")))
+        )
+    if "top1_acc" not in stats:
+        raise SystemExit(
+            "validate_zoo expects classification stats with 'top1_acc'; "
+            f"got keys {sorted(stats)} — multi-label/detection configs "
+            "report mAP and are not supported by this harness."
+        )
     top1 = float(stats["top1_acc"])
 
     name = os.path.basename(args.cfg_file)

@@ -81,7 +81,7 @@ _C.TEST.SAVE_RESULTS_PATH = ""
 # TEST_CROP_SIZE_RECT vs TRAIN_CROP_SIZE_RECT, `video_model_builder.py:1747`).
 _C.TEST.PROCESS = False
 _C.TEST.FEAT_EXTRACT = False
-_C.TEST.SPATIAL_SAMPLE_INDEX = -1
+_C.TEST.SPATIAL_SAMPLE_INDEX = 1  # center crop (`defaults.py:286`)
 _C.TEST.SPATIAL_SAMPLE_RATIO = [0.5, 0.5]
 # Dense spatial crop sweep over a ratio grid (`defaults.py:286-289`).
 _C.TEST.DENSE_SPATIAL_CROP = False
@@ -628,6 +628,11 @@ _C.TPU.ATTN_Q_CHUNK = 0
 # chunk body) instead of storing them fwd->bwd. Required for the large-
 # batch memory win; turn off to measure store-vs-recompute.
 _C.TPU.ATTN_CHUNK_REMAT = True
+# Token-chunked transformer MLP (fc1->gelu->fc2 per chunk of this many
+# tokens, recompute-in-backward): the [N, 4C] hidden never lives whole in
+# HBM (154 MB per direction at MViT block 0, bs 8). 0 = off. Same math;
+# dropout>0 paths ignore it (see models/common.py Mlp).
+_C.TPU.MLP_CHUNK = 0
 # Hand-written backward for the flat-pool group LayerNorm (standard LN
 # gradient via the masked-matmul trick) instead of autodiff through the
 # E[x^2] stats chain. Exactness-tested vs autodiff; measured WIN on v5e

@@ -173,7 +173,15 @@ class Kinetics:
                     else 1
                 )
             )
-            min_scale, max_scale = [cfg.DATA.TEST_CROP_SIZE] * 2
+            # Multi-crop protocols resize the short side to the crop size;
+            # the 1-crop protocol resizes to TRAIN_JITTER_SCALES[0] and
+            # center-crops from the larger frame (`kinetics.py:244-250`) —
+            # the MViT PMV recipe (5 clips x 1 crop) takes this branch.
+            min_scale, max_scale = (
+                [cfg.DATA.TEST_CROP_SIZE] * 2
+                if cfg.TEST.NUM_SPATIAL_CROPS > 1
+                else [cfg.DATA.TRAIN_JITTER_SCALES[0]] * 2
+            )
             crop_size = cfg.DATA.TEST_CROP_SIZE
         return temporal_idx, spatial_idx, min_scale, max_scale, crop_size
 

@@ -66,6 +66,39 @@ def import_reference_models(fork="MViT"):
     return models
 
 
+def import_reference_data(fork="MViT"):
+    """Returns the reference fork's REAL data-path modules
+    (decoder, utils, spatial transform) for full-pipeline golden tests.
+
+    `slowfast.datasets.__init__` imports the dataset zoo (needs av/decord),
+    so the package is registered bare with `__path__` pointing at the real
+    directory and only the torch-math submodules are imported (their
+    torchvision/PIL deps come from tests/ref_stubs). Returns
+    (decoder, utils, transform) modules
+    (`MViT/slowfast/datasets/{decoder,utils,transform}.py`)."""
+    import importlib
+
+    for k in list(sys.modules):
+        if k == "slowfast" or k.startswith("slowfast."):
+            del sys.modules[k]
+    sys.path[:] = [p for p in sys.path if not p.startswith(REFERENCE)]
+    if STUBS not in sys.path:
+        sys.path.insert(0, STUBS)
+    sys.path.insert(0, os.path.join(REFERENCE, fork))
+
+    import slowfast  # noqa: F401  (env setup via iopath stub)
+
+    ds_dir = os.path.join(REFERENCE, fork, "slowfast", "datasets")
+    ds_pkg = types.ModuleType("slowfast.datasets")
+    ds_pkg.__path__ = [ds_dir]
+    sys.modules["slowfast.datasets"] = ds_pkg
+
+    transform = importlib.import_module("slowfast.datasets.transform")
+    decoder = importlib.import_module("slowfast.datasets.decoder")
+    utils = importlib.import_module("slowfast.datasets.utils")
+    return decoder, utils, transform
+
+
 def reference_cfg(fork="MViT"):
     """The reference fork's own default cfg (fvcore-free: both forks'
     config/defaults.py only need CfgNode from fvcore, which the stub

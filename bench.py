@@ -118,6 +118,11 @@ def main():
                 "metric": "train_clips_per_sec_per_chip_mvitv2s_16x4",
                 "value": round(clips_per_sec_per_chip, 2),
                 "unit": "clips/s/chip",
+                # CPU CI runs swap in the tiny model; any automated reader
+                # must see that this is NOT the production config (VERDICT
+                # r3 weak #8).
+                "config": "tiny-cpu-fallback" if platform == "cpu"
+                else "mvitv2_s_16x4_full",
                 "vs_baseline": round(
                     clips_per_sec_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3
                 ),

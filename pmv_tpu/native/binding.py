@@ -99,6 +99,17 @@ def get_lib():
             ctypes.c_longlong,
             ctypes.c_int,
         ]
+        lib.pmv_write_video_h264.restype = ctypes.c_int
+        lib.pmv_write_video_h264.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -207,3 +218,23 @@ def write_test_video(path, frames, fps=30, audio=None, audio_sr=16000):
         )
     if rc != 0:
         raise IOError(f"write_test_video failed (code {rc})")
+
+
+def write_video_h264(path, frames, fps=30, gop=30, crf=23):
+    """Write uint8 [T, H, W, 3] RGB frames as an H.264 yuv420p MP4.
+
+    Realistic inter-coded streams (GOP structure, B-frames): decoding costs
+    real codec work and PTS-selective seek must honor keyframes — use for
+    decode-throughput corpora and seek tests (the PMV-400 corpus is H.264
+    mp4, `DATA.md:6`)."""
+    lib = get_lib()
+    frames = np.ascontiguousarray(frames, np.uint8)
+    t, h, w, c = frames.shape
+    assert c == 3
+    rc = lib.pmv_write_video_h264(
+        str(path).encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        t, w, h, fps, gop, crf,
+    )
+    if rc != 0:
+        raise IOError(f"write_video_h264 failed (code {rc})")

@@ -32,7 +32,8 @@ struct Decoder {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
   int stream_idx = -1;
-  double fps = 0.0;
+  double fps = 0.0;      // avg rate (pyav `average_rate` parity, sampling math)
+  double idx_fps = 0.0;  // base tick rate (pts -> frame-index mapping)
   int64_t nb_frames = 0;     // container-reported (may be 0/approximate)
   double duration_sec = 0.0;
   int width = 0;
@@ -45,6 +46,72 @@ double stream_fps(AVStream* st) {
   if (r.num == 0 || r.den == 0) r = st->r_frame_rate;
   if (r.num == 0 || r.den == 0) return 0.0;
   return av_q2d(r);
+}
+
+// Base (container) frame rate for pts -> frame-index mapping. avg_frame_rate
+// = nb_frames / duration is what pyav reports (and what the sampling math
+// uses, parity), but on mp4 the duration excludes the last frame's span, so
+// avg is slightly high (e.g. 30.34 for 90 frames @ 30) and llround(pts *
+// avg) misindexes late frames. r_frame_rate is the stream's real tick rate.
+double index_fps(AVStream* st) {
+  AVRational r = st->r_frame_rate;
+  if (r.num == 0 || r.den == 0) r = st->avg_frame_rate;
+  if (r.num == 0 || r.den == 0) return 0.0;
+  return av_q2d(r);
+}
+
+// Exact torch-bilinear resize (align_corners=False, NO antialias): 2-tap
+// half-pixel sampling on both axes, float accumulation, one rint at the
+// end. swscale's SWS_BILINEAR widens the filter on downscale (correct
+// signal processing, but NOT the reference protocol —
+// `transform.py:73-91` uses F.interpolate(bilinear), which aliases), so
+// decode-time resize must use this kernel for checkpoint parity.
+// src/dst are packed RGB24.
+void resize_bilinear_exact_u8(const uint8_t* src, int sw, int sh,
+                              uint8_t* dst, int dw, int dh) {
+  if (sw == dw && sh == dh) {
+    std::memcpy(dst, src, static_cast<size_t>(sw) * sh * 3);
+    return;
+  }
+  std::vector<int> x0(dw), x1(dw);
+  std::vector<float> fx(dw);
+  for (int x = 0; x < dw; ++x) {
+    double s = (x + 0.5) * static_cast<double>(sw) / dw - 0.5;
+    s = std::min(std::max(s, 0.0), static_cast<double>(sw - 1));
+    int i0 = static_cast<int>(s);
+    x0[x] = i0;
+    x1[x] = std::min(i0 + 1, sw - 1);
+    fx[x] = static_cast<float>(s - i0);
+  }
+  // Horizontal pass: [sh, dw, 3] f32.
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* srow = src + static_cast<size_t>(y) * sw * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const uint8_t* a = srow + x0[x] * 3;
+      const uint8_t* b = srow + x1[x] * 3;
+      float f = fx[x];
+      for (int ch = 0; ch < 3; ++ch)
+        trow[x * 3 + ch] = a[ch] + (b[ch] - a[ch]) * f;
+    }
+  }
+  // Vertical pass + rounding.
+  for (int y = 0; y < dh; ++y) {
+    double s = (y + 0.5) * static_cast<double>(sh) / dh - 0.5;
+    s = std::min(std::max(s, 0.0), static_cast<double>(sh - 1));
+    int i0 = static_cast<int>(s);
+    int i1 = std::min(i0 + 1, sh - 1);
+    float f = static_cast<float>(s - i0);
+    const float* r0 = tmp.data() + static_cast<size_t>(i0) * dw * 3;
+    const float* r1 = tmp.data() + static_cast<size_t>(i1) * dw * 3;
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    for (int k = 0; k < dw * 3; ++k) {
+      float v = r0[k] + (r1[k] - r0[k]) * f;
+      v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+      drow[k] = static_cast<uint8_t>(std::lrintf(v));
+    }
+  }
 }
 
 }  // namespace
@@ -82,6 +149,7 @@ void* pmv_open(const char* path) {
     return nullptr;
   }
   d->fps = stream_fps(st);
+  d->idx_fps = index_fps(st);
   d->nb_frames = st->nb_frames;
   if (st->duration > 0) {
     d->duration_sec = st->duration * av_q2d(st->time_base);
@@ -128,14 +196,18 @@ int pmv_decode_frames(void* handle, const long long* indices, int count,
   }
 
   // Seek to slightly before the first needed frame (backward keyframe).
-  double t0 = static_cast<double>(first) / d->fps;
+  const double map_fps = d->idx_fps > 0 ? d->idx_fps : d->fps;
+  double t0 = static_cast<double>(first) / map_fps;
   int64_t seek_ts = static_cast<int64_t>(t0 / av_q2d(st->time_base));
   av_seek_frame(d->fmt, d->stream_idx, seek_ts, AVSEEK_FLAG_BACKWARD);
   avcodec_flush_buffers(d->codec);
 
-  SwsContext* sws =
-      sws_getContext(d->width, d->height, d->codec->pix_fmt, out_w, out_h,
-                     AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  // Pixel-format conversion at NATIVE size; the resize to (out_w, out_h)
+  // happens in resize_bilinear_exact_u8 (torch-protocol parity — swscale's
+  // downscale filter is not the reference's 2-tap bilinear).
+  SwsContext* sws = sws_getContext(
+      d->width, d->height, d->codec->pix_fmt, d->width, d->height,
+      AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
   if (!sws) return -3;
 
   AVPacket* pkt = av_packet_alloc();
@@ -146,15 +218,51 @@ int pmv_decode_frames(void* handle, const long long* indices, int count,
   double tb = av_q2d(st->time_base);
   const size_t frame_bytes = static_cast<size_t>(out_w) * out_h * 3;
 
+  // Staging buffer with a 64-byte-aligned, padded stride: swscale's SIMD
+  // row tails write past width*3 (measured 24 bytes on yuv420p->rgb24),
+  // so its output never goes straight into the caller's packed buffer.
+  const int stage_stride =
+      static_cast<int>(((static_cast<size_t>(d->width) * 3 + 63) / 64) * 64);
+  uint8_t* stage = static_cast<uint8_t*>(
+      av_malloc(static_cast<size_t>(stage_stride) * d->height + 64));
+  // Packed native-size RGB (input to the exact resize).
+  uint8_t* native_rgb = static_cast<uint8_t*>(
+      av_malloc(static_cast<size_t>(d->width) * d->height * 3));
+  if (!stage || !native_rgb) {
+    if (stage) av_free(stage);
+    if (native_rgb) av_free(native_rgb);
+    av_packet_free(&pkt);
+    av_frame_free(&frame);
+    sws_freeContext(sws);
+    return -4;
+  }
+  const bool needs_resize = (out_w != d->width || out_h != d->height);
+
   auto emit = [&](AVFrame* f, int64_t idx) {
     // Write f into every output slot whose requested index == idx.
-    uint8_t* dst_data[4] = {nullptr, nullptr, nullptr, nullptr};
-    int dst_linesize[4] = {out_w * 3, 0, 0, 0};
+    uint8_t* dst_data[4] = {stage, nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {stage_stride, 0, 0, 0};
+    bool scaled = false;
     for (int i = 0; i < count; ++i) {
       if (indices[i] == idx) {
-        dst_data[0] = out + frame_bytes * i;
-        sws_scale(sws, f->data, f->linesize, 0, d->height, dst_data,
-                  dst_linesize);
+        if (!scaled) {
+          sws_scale(sws, f->data, f->linesize, 0, d->height, dst_data,
+                    dst_linesize);
+          // Pack rows (strip the alignment padding).
+          for (int y = 0; y < d->height; ++y) {
+            std::memcpy(native_rgb + static_cast<size_t>(y) * d->width * 3,
+                        stage + static_cast<size_t>(y) * stage_stride,
+                        static_cast<size_t>(d->width) * 3);
+          }
+          scaled = true;
+        }
+        uint8_t* dst = out + frame_bytes * i;
+        if (needs_resize) {
+          resize_bilinear_exact_u8(native_rgb, d->width, d->height, dst,
+                                   out_w, out_h);
+        } else {
+          std::memcpy(dst, native_rgb, frame_bytes);
+        }
         ++filled;
       }
     }
@@ -171,7 +279,7 @@ int pmv_decode_frames(void* handle, const long long* indices, int count,
         int64_t pts = frame->best_effort_timestamp;
         int64_t idx;
         if (pts != AV_NOPTS_VALUE) {
-          idx = static_cast<int64_t>(std::llround(pts * tb * d->fps));
+          idx = static_cast<int64_t>(std::llround(pts * tb * map_fps));
           started = true;
         } else {
           idx = started ? frame_count + 1 : 0;
@@ -196,7 +304,7 @@ int pmv_decode_frames(void* handle, const long long* indices, int count,
     while (avcodec_receive_frame(d->codec, frame) == 0) {
       int64_t pts = frame->best_effort_timestamp;
       int64_t idx = (pts != AV_NOPTS_VALUE)
-                        ? static_cast<int64_t>(std::llround(pts * tb * d->fps))
+                        ? static_cast<int64_t>(std::llround(pts * tb * map_fps))
                         : frame_count + 1;
       frame_count = idx;
       if (idx >= first) emit(frame, idx);
@@ -215,6 +323,8 @@ int pmv_decode_frames(void* handle, const long long* indices, int count,
     }
   }
 
+  av_free(stage);
+  av_free(native_rgb);
   av_frame_free(&frame);
   av_packet_free(&pkt);
   sws_freeContext(sws);
@@ -423,6 +533,100 @@ int pmv_write_test_video_av(const char* path, const unsigned char* rgb,
   av_packet_free(&pkt);
   avcodec_free_context(&vc);
   if (ac) avcodec_free_context(&ac);
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&ofmt->pb);
+  avformat_free_context(ofmt);
+  return 0;
+}
+
+// H.264 MP4 writer (yuv420p, real GOP structure) — realistic corpora for
+// decode-throughput measurement and PTS-seek tests: unlike the rawvideo
+// writer, decoding these costs actual codec work and selective seek must
+// land on keyframes (the reference corpus is H.264 mp4, `DATA.md:6`).
+int pmv_write_video_h264(const char* path, const unsigned char* rgb,
+                         int num_frames, int width, int height, int fps,
+                         int gop, int qp) {
+  AVFormatContext* ofmt = nullptr;
+  avformat_alloc_output_context2(&ofmt, nullptr, "mp4", path);
+  if (!ofmt) return -1;
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_H264);
+  if (!codec) return -2;
+  AVStream* st = avformat_new_stream(ofmt, codec);
+  AVCodecContext* c = avcodec_alloc_context3(codec);
+  c->codec_id = AV_CODEC_ID_H264;
+  c->width = width;
+  c->height = height;
+  c->pix_fmt = AV_PIX_FMT_YUV420P;
+  c->time_base = AVRational{1, fps};
+  c->framerate = AVRational{fps, 1};
+  c->gop_size = gop > 0 ? gop : 30;
+  c->max_b_frames = 2;
+  if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
+    c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  AVDictionary* opts = nullptr;
+  char qpstr[16];
+  snprintf(qpstr, sizeof qpstr, "%d", qp > 0 ? qp : 23);
+  av_dict_set(&opts, "crf", qpstr, 0);       // libx264
+  av_dict_set(&opts, "qp", qpstr, 0);        // openh264 fallback
+  av_dict_set(&opts, "preset", "veryfast", 0);
+  if (avcodec_open2(c, codec, &opts) < 0) {
+    av_dict_free(&opts);
+    return -3;
+  }
+  av_dict_free(&opts);
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&ofmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+  }
+  if (avformat_write_header(ofmt, nullptr) < 0) return -5;
+
+  SwsContext* sws = sws_getContext(width, height, AV_PIX_FMT_RGB24, width,
+                                   height, AV_PIX_FMT_YUV420P, SWS_BILINEAR,
+                                   nullptr, nullptr, nullptr);
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  frame->format = c->pix_fmt;
+  frame->width = width;
+  frame->height = height;
+  av_frame_get_buffer(frame, 0);
+  const size_t fbytes = static_cast<size_t>(width) * height * 3;
+  auto drain = [&](AVCodecContext* ctx) {
+    while (avcodec_receive_packet(ctx, pkt) == 0) {
+      // x264 leaves pkt->duration 0; without it the mp4 muxer computes the
+      // track duration from dts span only, which lands the last (B-frame
+      // reordered) sample's pts outside the edit list — every demuxer then
+      // silently discards the final frame.
+      if (pkt->duration == 0) pkt->duration = 1;
+      av_packet_rescale_ts(pkt, ctx->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      av_interleaved_write_frame(ofmt, pkt);
+      av_packet_unref(pkt);
+    }
+  };
+  for (int i = 0; i < num_frames; ++i) {
+    av_frame_make_writable(frame);
+    const uint8_t* src[1] = {rgb + fbytes * i};
+    const int src_stride[1] = {width * 3};
+    sws_scale(sws, src, src_stride, 0, height, frame->data, frame->linesize);
+    frame->pts = i;
+    // send_frame returns EAGAIN (frame NOT consumed) when the encoder has
+    // pending output — drain and retry, else the frame is silently dropped
+    // (x264's lookahead hit this every ~32 frames).
+    for (int tries = 0; tries < 64; ++tries) {
+      int s = avcodec_send_frame(c, frame);
+      if (s == 0) break;
+      if (s != AVERROR(EAGAIN)) break;
+      drain(c);
+    }
+    drain(c);
+  }
+  avcodec_send_frame(c, nullptr);  // flush
+  drain(c);
+  av_write_trailer(ofmt);
+  sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&c);
   if (!(ofmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&ofmt->pb);
   avformat_free_context(ofmt);
   return 0;

@@ -123,10 +123,13 @@ def corpus(tmp_path_factory):
     rows = []
     # Portrait (pm path) x2, landscape, square — 4 videos x 2 temporal
     # views = 8 samples: one full batch on the 8-device virtual mesh.
+    # H.264 mp4 (GOP 16, B-frames): the reference corpus codec — decode
+    # parity here covers PTS-selective keyframe seek on inter-coded video,
+    # not just demux (`DATA.md:6`).
     for i, (h, w) in enumerate([(160, 90), (90, 160), (120, 120), (200, 112)]):
         frames = _smooth_frames(rng, 40, h, w)
-        name = f"g{i}.avi"
-        binding.write_test_video(vids / name, frames, fps=30)
+        name = f"g{i}.mp4"
+        binding.write_video_h264(vids / name, frames, fps=30, gop=16, crf=22)
         rows.append(f"{name},{i}")
     (root / "test_pmv400.csv").write_text("\n".join(rows) + "\n")
     return root, vids, rows

@@ -62,3 +62,69 @@ def test_repeated_indices(test_video):
         out = vr.read_frames([5, 5, 5, 9])
         assert out.shape[0] == 4
         np.testing.assert_array_equal(out[0], out[1])
+
+
+@pytest.fixture(scope="module")
+def h264_video(tmp_path_factory):
+    """H.264 mp4 with real GOP structure (keyframes every 15, B-frames):
+    frame i carries a solid gray ramp so index identity is checkable
+    despite lossy encode."""
+    path = tmp_path_factory.mktemp("vids") / "test.mp4"
+    t, h, w = 64, 96, 64
+    frames = np.zeros((t, h, w, 3), np.uint8)
+    for i in range(t):
+        frames[i] = i * 3
+    binding.write_video_h264(path, frames, fps=30, gop=15, crf=20)
+    return str(path), frames
+
+
+def test_h264_roundtrip_and_meta(h264_video):
+    path, frames = h264_video
+    with binding.VideoReader(path) as vr:
+        assert vr.width == 64 and vr.height == 96
+        assert vr.num_frames == 64
+        # mp4 avg rate excludes the last frame's span (pyav average_rate
+        # reports the same) — the sampling math tolerates the ~1.6% skew.
+        assert abs(vr.fps - 30) < 0.6
+        out = vr.read_frames([0, 7, 31, 63])
+        for k, i in enumerate([0, 7, 31, 63]):
+            med = int(np.median(out[k]))
+            assert abs(med - i * 3) <= 3, (i, med)
+
+
+def test_h264_seek_lands_on_exact_frame(h264_video):
+    """Selective seek into GOP interiors (B-frame reorder territory):
+    frame identity must be exact, incl. the last frame whose pts*avg_rate
+    rounds to the wrong index if mapped with the mp4 avg rate."""
+    path, _ = h264_video
+    with binding.VideoReader(path) as vr:
+        full = vr.read_frames(list(range(64)))
+    with binding.VideoReader(path) as vr:
+        for idx in ([17], [33, 34], [62, 63], [1, 16, 47]):
+            out = vr.read_frames(idx)
+            for k, i in enumerate(idx):
+                np.testing.assert_array_equal(out[k], full[i], err_msg=str(i))
+
+
+def test_h264_no_overflow_on_odd_resize(h264_video):
+    """swscale SIMD row tails must not write past the packed output
+    (regression: 24-byte heap overflow on yuv420p->rgb24 before the
+    staging-buffer fix)."""
+    path, _ = h264_video
+    with binding.VideoReader(path) as vr:
+        lib = binding.get_lib()
+        import ctypes
+
+        for ow, oh in ((37, 54), (61, 90)):
+            fb = ow * oh * 3
+            buf = np.full(fb + 4096, 0xAB, np.uint8)
+            idx = np.array([5], np.int64)
+            got = lib.pmv_decode_frames(
+                vr._handle,
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                1,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                ow, oh,
+            )
+            assert got == 1
+            assert (buf[fb:] == 0xAB).all(), (ow, oh)

@@ -39,13 +39,27 @@ def make_corpus(root, n_videos):
     os.makedirs(os.path.join(root, "videos"), exist_ok=True)
     rng = np.random.default_rng(0)
     rows = []
+    yy0, xx0 = np.mgrid[0:640, 0:360].astype(np.float32)
     for i in range(n_videos):
-        # Mostly portrait 360x640, some landscape — PMV-400-like mix.
+        # Mostly portrait 360x640, some landscape — PMV-400-like mix,
+        # H.264 mp4 like the real corpus (`DATA.md:6`): decode throughput
+        # must include codec work, not just rawvideo demux.
         h, w = (640, 360) if i % 4 else (360, 640)
-        frames = rng.integers(0, 255, (120, h, w, 3), dtype=np.uint8)
-        name = f"v{i:03d}.avi"
-        binding.write_test_video(
-            os.path.join(root, "videos", name), frames, fps=30
+        yy, xx = (yy0, xx0) if i % 4 else (xx0, yy0)
+        ph = rng.uniform(0, 6.28, 3)
+        frames = np.empty((120, h, w, 3), np.uint8)
+        for t in range(120):
+            for c in range(3):
+                frames[t, :, :, c] = np.clip(
+                    90
+                    + 70 * np.sin(2 * np.pi * (xx / w) + 0.21 * t + ph[c])
+                    + 50 * np.cos(2 * np.pi * (yy / h) - 0.13 * t),
+                    0, 255,
+                ).astype(np.uint8)
+        name = f"v{i:03d}.mp4"
+        binding.write_video_h264(
+            os.path.join(root, "videos", name), frames, fps=30, gop=30,
+            crf=23,
         )
         rows.append(f"{name},{i % 10}")
     for split in ("train", "val", "test"):

@@ -321,6 +321,7 @@ class MViT(nn.Module):
                 attn_q_chunk=cfg.TPU.ATTN_Q_CHUNK,
                 attn_chunk_remat=cfg.TPU.ATTN_CHUNK_REMAT,
                 mlp_chunk=cfg.TPU.MLP_CHUNK,
+                fused_kv_pool=cfg.TPU.FUSED_KV_POOL,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

@@ -118,6 +118,10 @@ VARIANTS = {
     "chunk1k_noremat": lambda c: _set(
         c, [("TPU.ATTN_Q_CHUNK", 1024), ("TPU.ATTN_CHUNK_REMAT", False)]
     ),
+    # Fused sparse-KV Pallas pass (round 4): projection + pool + LN in one
+    # kernel per sparse block (blocks 0-2).
+    "fused_kv": lambda c: _set(c, [("TPU.FUSED_KV_POOL", True)]),
+    "eval_fused_kv": lambda c: _set(c, [("TPU.FUSED_KV_POOL", True)]),
     # Token-chunked MLP (round 4): the [N, 4C] hidden stays chunk-sized.
     "mlp_chunk2k": lambda c: _set(c, [("TPU.MLP_CHUNK", 2048)]),
     "mlp_chunk4k": lambda c: _set(c, [("TPU.MLP_CHUNK", 4096)]),

@@ -103,11 +103,154 @@ def time_family(name):
     )
 
 
+def _report(name, batch, dt, n):
+    print(
+        json.dumps(
+            {
+                "family": name,
+                "batch": batch,
+                "ms_per_step": round(dt / n * 1e3, 2),
+                "clips_per_sec_per_chip": round(batch * n / dt, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _time_loop(step, state, args, n=10):
+    for _ in range(2):
+        state, metrics = step(state, *args)
+        jax.device_get(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = step(state, *args)
+    jax.device_get(metrics["loss"])
+    return time.perf_counter() - t0, n
+
+
+def time_contrastive(name="contrastive_moco"):
+    """MoCo SlowR50 8x8 train step (ssl_steps.make_ssl_train_step),
+    2 temporal views/clip; recipe bs 64/8GPU -> 8/chip."""
+    from pmv_tpu.engine import ssl_steps
+    from pmv_tpu.models import build_model
+    from pmv_tpu.parallel import mesh as mesh_lib
+    from pmv_tpu.utils import misc
+
+    cfg = family_cfg("contrastive_ssl/MoCo_SlowR50_8x8.yaml", False)
+    batch = 8
+    model = build_model(cfg)
+    rng = misc.root_key(cfg)
+    rng_np = np.random.default_rng(0)
+    s = cfg.DATA.TRAIN_CROP_SIZE
+    frames = jnp.asarray(rng_np.integers(
+        0, 255, (batch, 2, cfg.DATA.NUM_FRAMES, s, s, 3), dtype=np.uint8))
+    index = jnp.arange(batch)
+    mesh = mesh_lib.create_mesh()
+    state, tx = ssl_steps.init_ssl_state(
+        cfg, model, {"frames": frames[:, 0], "index": index}, rng)
+    state = mesh_lib.replicate(state, mesh)
+    db = mesh_lib.shard_batch({"frames": frames, "index": index}, mesh)
+    step = jax.jit(ssl_steps.make_ssl_train_step(cfg, model, tx))
+    dt, n = _time_loop(step, state, (db, rng, 1e-4))
+    _report(name, batch, dt, n)
+
+
+def time_masked(name="maskmvit_pt"):
+    """MaskFeat MViTv2-S 16x4 pretrain step (HOG regression); recipe bs
+    32/8GPU -> 4/chip."""
+    from pmv_tpu.engine import ssl_steps
+    from pmv_tpu.models import build_model
+    from pmv_tpu.parallel import mesh as mesh_lib
+    from pmv_tpu.utils import misc
+
+    cfg = family_cfg("masked_ssl/k400_MVITv2_S_16x4_MaskFeat_PT.yaml", False)
+    batch = 4
+    model = build_model(cfg)
+    rng = misc.root_key(cfg)
+    rng_np = np.random.default_rng(0)
+    s = cfg.DATA.TRAIN_CROP_SIZE
+    frames = jnp.asarray(rng_np.integers(
+        0, 255, (batch, cfg.DATA.NUM_FRAMES, s, s, 3), dtype=np.uint8))
+    mesh = mesh_lib.create_mesh()
+    state, tx = ssl_steps.init_masked_state(cfg, model, {"frames": frames}, rng)
+    state = mesh_lib.replicate(state, mesh)
+    db = mesh_lib.shard_batch({"frames": frames}, mesh)
+    step = jax.jit(ssl_steps.make_masked_train_step(cfg, model, tx))
+    dt, n = _time_loop(step, state, (db, rng, 1e-4))
+    _report(name, batch, dt, n)
+
+
+def time_detection(name="ava_slow_detection"):
+    """AVA Slow-R50 detection train step (RoIAlign head + box supervision);
+    reference recipe bs 64/8GPU -> 8/chip."""
+    import jax.numpy as jnp  # noqa: F811
+
+    from pmv_tpu.engine import steps
+    from pmv_tpu.engine.train_state import TrainState  # noqa: F401
+    from pmv_tpu.models import build_model
+    from pmv_tpu.models import optimizer as optim
+    from pmv_tpu.parallel import mesh as mesh_lib
+    from pmv_tpu.utils import misc
+
+    cfg = family_cfg("AVA/SLOW_8x8_R50_SHORT.yaml", False)
+    cfg.DETECTION.ENABLE = True
+    batch, n_boxes = 8, 5
+    model = build_model(cfg)
+    rng = misc.root_key(cfg)
+    rng_np = np.random.default_rng(0)
+    s = cfg.DATA.TRAIN_CROP_SIZE
+    frames = rng_np.integers(
+        0, 255, (batch, cfg.DATA.NUM_FRAMES, s, s, 3), dtype=np.uint8)
+    boxes = rng_np.uniform(0, s, (batch, n_boxes, 4)).astype(np.float32)
+    boxes = np.sort(boxes.reshape(batch, n_boxes, 2, 2), axis=2).reshape(
+        batch, n_boxes, 4)[:, :, [0, 2, 1, 3]]
+    labels = rng_np.integers(
+        0, 2, (batch, n_boxes, cfg.MODEL.NUM_CLASSES)).astype(np.float32)
+    box_mask = np.ones((batch, n_boxes), bool)
+    batch_np = {
+        "frames": frames, "boxes": boxes, "labels": labels,
+        "box_mask": box_mask,
+    }
+    mesh = mesh_lib.create_mesh()
+    x = frames.astype(np.float32)
+    inputs = steps.pack_pathways(cfg, jnp.asarray(x))
+    xs = inputs[0] if len(inputs) == 1 else inputs
+    variables = jax.jit(
+        lambda k: model.init(
+            k, xs, train=False, boxes=jnp.asarray(boxes),
+            box_mask=jnp.asarray(box_mask),
+        )
+    )(rng)
+    tx = optim.construct_optimizer(variables["params"], cfg)
+    from pmv_tpu.engine.train_state import TrainState as TS
+
+    state = TS(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    state = mesh_lib.replicate(state, mesh)
+    db = mesh_lib.shard_batch(batch_np, mesh)
+    step = jax.jit(steps.make_detection_train_step(cfg, model, tx))
+    dt, n = _time_loop(step, state, (db, rng, 1e-4))
+    _report(name, batch, dt, n)
+
+
+SPECIAL = {
+    "contrastive_moco": time_contrastive,
+    "maskmvit_pt": time_masked,
+    "ava_slow_detection": time_detection,
+}
+
+
 def main():
-    names = sys.argv[1:] or list(FAMILIES)
+    names = sys.argv[1:] or list(FAMILIES) + list(SPECIAL)
     for name in names:
         try:
-            time_family(name)
+            if name in SPECIAL:
+                SPECIAL[name]()
+            else:
+                time_family(name)
         except Exception as e:
             print(json.dumps({"family": name, "error": str(e)[:200]}),
                   flush=True)

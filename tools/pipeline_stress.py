@@ -45,7 +45,7 @@ def make_corpus(root, n_videos):
         # H.264 mp4 like the real corpus (`DATA.md:6`): decode throughput
         # must include codec work, not just rawvideo demux.
         h, w = (640, 360) if i % 4 else (360, 640)
-        yy, xx = (yy0, xx0) if i % 4 else (xx0, yy0)
+        yy, xx = (yy0, xx0) if i % 4 else (yy0.T, xx0.T)
         ph = rng.uniform(0, 6.28, 3)
         frames = np.empty((120, h, w, 3), np.uint8)
         for t in range(120):

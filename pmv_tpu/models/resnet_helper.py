@@ -14,10 +14,12 @@ import jax.numpy as jnp
 from pmv_tpu.models.common import DropPath, round_width
 
 
-def _conv(dim_out, kernel, stride, padding, groups=1, name=None, dtype=jnp.float32):
+def _conv(dim_out, kernel, stride, padding, groups=1, name=None,
+          dtype=jnp.float32, dilation=1):
     return nn.Conv(
         dim_out, tuple(kernel), tuple(stride),
         padding=[(p, p) for p in padding],
+        kernel_dilation=(1, dilation, dilation),
         feature_group_count=groups, use_bias=False, dtype=dtype, name=name,
     )
 
@@ -89,7 +91,7 @@ class BottleneckTransform(nn.Module):
         x = nn.relu(x)
         x = _conv(self.dim_inner, (1, 3, 3), (1, str3x3, str3x3),
                   (0, self.dilation, self.dilation), groups=self.num_groups,
-                  name="b", dtype=self.dtype)(x)
+                  name="b", dtype=self.dtype, dilation=self.dilation)(x)
         x = self.norm(name="b_bn")(x, use_running_average=not train)
         x = nn.relu(x)
         x = _conv(self.dim_out, (1, 1, 1), (1, 1, 1), (0, 0, 0),
@@ -127,7 +129,8 @@ class X3DTransform(nn.Module):
         x = nn.relu(x)
         x = _conv(self.dim_inner, (tk, 3, 3), (1, str3x3, str3x3),
                   (tk // 2, self.dilation, self.dilation),
-                  groups=self.num_groups, name="b", dtype=self.dtype)(x)
+                  groups=self.num_groups, name="b", dtype=self.dtype,
+                  dilation=self.dilation)(x)
         x = self.norm(name="b_bn")(x, use_running_average=not train)
         # SE on every other block ((block_idx + 1) % 2, `resnet_helper.py:233`).
         use_se = (self.block_idx + 1) % 2 == 1

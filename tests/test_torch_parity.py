@@ -164,3 +164,25 @@ def test_inflation_2d_to_3d():
     assert out.shape == (5, 7, 7, 3, 4)
     # Average inflation: sum over T reproduces the 2D response.
     np.testing.assert_allclose(out.sum(axis=0), np.ones((7, 7, 3, 4)))
+
+
+def test_dilated_conv3d_parity():
+    """Dilated res5 (AVA detection: SPATIAL_DILATIONS [[1],[1],[1],[2]]):
+    padding == dilation must preserve HW AND dilate the taps (regression:
+    _conv dropped kernel_dilation, producing 16x16 from 14x14)."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, 2, 14, 14, 8)).astype(np.float32)
+    w = rng.normal(size=(16, 8, 1, 3, 3)).astype(np.float32) * 0.1
+    tout = torch.nn.functional.conv3d(
+        torch.from_numpy(x).permute(0, 4, 1, 2, 3),
+        torch.from_numpy(w), None, stride=1,
+        padding=(0, 2, 2), dilation=(1, 2, 2),
+    ).permute(0, 2, 3, 4, 1).numpy()
+    assert tout.shape[2:4] == (14, 14)
+
+    from pmv_tpu.models.resnet_helper import _conv
+
+    conv = _conv(16, (1, 3, 3), (1, 1, 1), (0, 2, 2), dilation=2)
+    variables = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 4, 1, 0))}}
+    jout = conv.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(jout), tout, atol=2e-4, rtol=1e-4)

@@ -118,6 +118,37 @@ VARIANTS = {
     "chunk1k_noremat": lambda c: _set(
         c, [("TPU.ATTN_Q_CHUNK", 1024), ("TPU.ATTN_CHUNK_REMAT", False)]
     ),
+    # Flat-pools bs32 compile-failure minimization (round 4, VERDICT #6):
+    # ungate FLAT_POOLS at batch 32 and bisect the failing graph by
+    # truncating depth / removing features until it compiles.
+    "flat_bs32": lambda c: _set(c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0)]),
+    "flat_bs32_d4": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0), ("MVIT.DEPTH", 4)]
+    ),
+    "flat_bs32_d2": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0), ("MVIT.DEPTH", 2)]
+    ),
+    "flat_bs32_d1": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0), ("MVIT.DEPTH", 1)]
+    ),
+    "flat_bs32_norel": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0),
+            ("MVIT.REL_POS_SPATIAL", False),
+            ("MVIT.REL_POS_TEMPORAL", False)]
+    ),
+    "flat_bs32_nochunk": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0), ("TPU.ATTN_Q_CHUNK", 0)]
+    ),
+    "flat_bs32_noaug": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0), ("AUG.ENABLE", False)]
+    ),
+    "flat_bs32_nosparse": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0),
+            ("MVIT.SPARSE_KV_POOL", False)]
+    ),
+    "flat_bs32_novjp": lambda c: _set(
+        c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0), ("TPU.FLAT_LN_VJP", False)]
+    ),
     # Fused sparse-KV Pallas pass (round 4): projection + pool + LN in one
     # kernel per sparse block (blocks 0-2).
     "fused_kv": lambda c: _set(c, [("TPU.FUSED_KV_POOL", True)]),
@@ -193,6 +224,10 @@ def time_variant(name):
         "chunk1k_bs64": 64, "chunk2k_bs64": 64,
         "chunk512_bs64": 64, "chunk512_bs48": 48,
         "noflat_bs32": 32, "mlp_chunk2k_bs32": 32,
+        "flat_bs32": 32, "flat_bs32_d4": 32, "flat_bs32_d2": 32,
+        "flat_bs32_d1": 32, "flat_bs32_norel": 32, "flat_bs32_nochunk": 32,
+        "flat_bs32_noaug": 32, "flat_bs32_nosparse": 32,
+        "flat_bs32_novjp": 32,
     }.get(name, BATCH)
     model = build_model(cfg)
     from pmv_tpu.utils import misc

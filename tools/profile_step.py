@@ -42,7 +42,14 @@ def capture(variant, batch):
     from pmv_tpu.parallel import mesh as mesh_lib
     from pmv_tpu.utils import misc
 
-    cfg = VARIANTS[variant](base_cfg())
+    if variant.startswith("family:"):
+        # Per-family profiling (VERDICT r3 #5): e.g. `family:x3d_m 8`.
+        from tools.family_bench import FAMILIES, family_cfg
+
+        yaml_rel, _, aug = FAMILIES[variant.split(":", 1)[1]]
+        cfg = family_cfg(yaml_rel, aug)
+    else:
+        cfg = VARIANTS[variant](base_cfg())
     model = build_model(cfg)
     rng = misc.root_key(cfg)
     mesh = mesh_lib.create_mesh()

@@ -26,6 +26,38 @@ _AVA_VALID_SECS = (902, 1798)
 MAX_BOXES = 16
 
 
+def _color_augmentation(frames, cfg, rng):
+    """Reference AVA train color augmentation on [T, H, W, 3] RGB frames in
+    [0, 255] (`ava_dataset.py:202-217` + `cv2_transform.py:240-298,636-741`):
+    optional brightness/contrast/saturation blends in a random order (var
+    0.4, one alpha per clip), then AlexNet PCA lighting jitter
+    (alphastd 0.1, DATA.TRAIN_PCA_EIGVAL/EIGVEC). The reference applies
+    these on [0,1] floats; scaling by 255 here is the same affine math."""
+    f = frames.astype(np.float32)
+
+    def gray(x):
+        g = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+        return g[..., None].repeat(3, axis=-1)
+
+    if not cfg.AVA.TRAIN_PCA_JITTER_ONLY:
+        ops = ["brightness", "contrast", "saturation"]
+        for name in [ops[i] for i in rng.permutation(3)]:
+            alpha = 1.0 + rng.uniform(-0.4, 0.4)
+            if name == "brightness":
+                target = np.zeros_like(f)
+            elif name == "contrast":
+                target = np.full_like(f, gray(f).mean())
+            else:
+                target = gray(f)
+            f = f * alpha + target * (1.0 - alpha)
+    # PCA lighting: rgb shift = sum_j eigvec[:, j] * alpha_j * eigval_j.
+    alpha = rng.normal(0, 0.1, size=(1, 3)).astype(np.float32)
+    eigvec = np.asarray(cfg.DATA.TRAIN_PCA_EIGVEC, np.float32)
+    eigval = np.asarray(cfg.DATA.TRAIN_PCA_EIGVAL, np.float32).reshape(1, 3)
+    rgb = np.sum(eigvec * alpha * eigval, axis=1)  # [3], RGB order
+    return f + rgb * 255.0
+
+
 def get_sequence(center_idx, half_len, sample_rate, num_frames):
     """Clip frame indices around a keyframe (`datasets/utils.py` get_sequence)."""
     seq = list(
@@ -176,6 +208,8 @@ class Ava:
             if rng.uniform() < 0.5:
                 frames = frames[:, :, ::-1]
                 px[:, [0, 2]] = crop - px[:, [2, 0]]
+            if cfg.AVA.TRAIN_USE_COLOR_AUGMENTATION:
+                frames = _color_augmentation(frames, cfg, rng)
         else:
             frames = transform.short_side_scale(frames, crop)
             h, w = frames.shape[1:3]
@@ -184,6 +218,10 @@ class Ava:
             frames = frames[:, y0 : y0 + crop, x0 : x0 + crop]
             px = boxes * np.array([w, h, w, h], np.float32)
             px -= np.array([x0, y0, x0, y0], np.float32)
+            if cfg.AVA.TEST_FORCE_FLIP:
+                # `ava_dataset.py` _test_force_flip (val/test, p=1).
+                frames = frames[:, :, ::-1]
+                px[:, [0, 2]] = crop - px[:, [2, 0]]
         px = np.clip(px, 0, crop - 1)
 
         # Pad boxes / labels to MAX_BOXES (static shapes for jit).

@@ -124,3 +124,30 @@ def test_ava_dataset(ava_root):
     # First keyframe has one box with two action labels (2 and 4).
     assert s["label"].shape == (16, 6)
     assert s["label"][0, 2] == 1.0 and s["label"][0, 4] == 1.0
+
+
+def test_ava_color_augmentation_math():
+    """PCA-only jitter shifts all pixels by one per-channel constant;
+    full color jitter stays finite and shape-preserving
+    (`ava_dataset.py:202-217`, `cv2_transform.py:240-298`)."""
+    from pmv_tpu.config import get_cfg
+    from pmv_tpu.data.ava import _color_augmentation
+
+    cfg = get_cfg()
+    cfg.AVA.TRAIN_USE_COLOR_AUGMENTATION = True
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 8, 8, 3)).astype(np.float32)
+
+    cfg.AVA.TRAIN_PCA_JITTER_ONLY = True
+    out = _color_augmentation(frames, cfg, np.random.default_rng(1))
+    shift = out - frames
+    # One constant per channel across all pixels/frames.
+    for c in range(3):
+        np.testing.assert_allclose(shift[..., c], shift[0, 0, 0, c],
+                                   atol=1e-4)
+
+    cfg.AVA.TRAIN_PCA_JITTER_ONLY = False
+    out2 = _color_augmentation(frames, cfg, np.random.default_rng(2))
+    assert out2.shape == frames.shape
+    assert np.isfinite(out2).all()
+    assert not np.allclose(out2, frames)

@@ -726,10 +726,11 @@ class MultiScaleAttention(nn.Module):
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     attn_q_chunk: int = 0  # q-tiled attention chunk rows (0 = off)
     attn_chunk_remat: bool = True  # recompute chunk probs in backward
-    # One Pallas pass for the sparse-KV half (projection + 27-tap pool +
+    # One fused pass for the sparse-KV half (projection + 27-tap pool +
     # group LN, TPU.FUSED_KV_POOL): replaces ~60 small XLA ops per sparse
     # block; backward is compact XLA einsums (ops/kv_pool_pallas.py).
     fused_kv_pool: bool = False
+    fused_kv_impl: str = "pallas"  # "pallas" | "xla" forward
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -865,7 +866,10 @@ class MultiScaleAttention(nn.Module):
                 stride=tuple(self.stride_kv), heads=self.num_heads,
                 eps=1e-6, compute_dtype=self.dtype,
                 out_dtype=self.dtype, has_bias=self.qkv_bias,
-                use_pallas=jax.default_backend() == "tpu",
+                use_pallas=(
+                    self.fused_kv_impl == "pallas"
+                    and jax.default_backend() == "tpu"
+                ),
             )
             k, v = fused(z, fkv_params)
             k = k.reshape(B, -1, self.dim_out)
@@ -1144,6 +1148,7 @@ class MultiScaleBlock(nn.Module):
     attn_chunk_remat: bool = True
     mlp_chunk: int = 0
     fused_kv_pool: bool = False
+    fused_kv_impl: str = "pallas"  # "pallas" | "xla" forward
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -1196,6 +1201,7 @@ class MultiScaleBlock(nn.Module):
             attn_q_chunk=self.attn_q_chunk,
             attn_chunk_remat=self.attn_chunk_remat,
             fused_kv_pool=self.fused_kv_pool,
+            fused_kv_impl=self.fused_kv_impl,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

@@ -322,6 +322,7 @@ class MViT(nn.Module):
                 attn_chunk_remat=cfg.TPU.ATTN_CHUNK_REMAT,
                 mlp_chunk=cfg.TPU.MLP_CHUNK,
                 fused_kv_pool=cfg.TPU.FUSED_KV_POOL,
+                fused_kv_impl=cfg.TPU.FUSED_KV_IMPL,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

@@ -6,6 +6,7 @@ Transforms: basic (3x3x3 + 3x3x3), bottleneck (Tx1x1 -> 1x3x3 -> 1x1x1), X3D
 shortcut + drop-connect; ResStage stacks per-pathway blocks.
 """
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -45,10 +46,16 @@ class PointwiseConv3D(nn.Module):
         return jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())))
 
 
+# A/B switch for the pointwise-dot lowering (PMV_POINTWISE_DOT=0 restores
+# nn.Conv); param trees are identical either way.
+_POINTWISE_AS_DOT = os.environ.get("PMV_POINTWISE_DOT", "1") == "1"
+
+
 def _conv(dim_out, kernel, stride, padding, groups=1, name=None,
           dtype=jnp.float32, dilation=1):
     if (
-        tuple(kernel) == (1, 1, 1)
+        _POINTWISE_AS_DOT
+        and tuple(kernel) == (1, 1, 1)
         and groups == 1
         and tuple(padding) == (0, 0, 0)
         and stride[0] == 1

@@ -59,61 +59,68 @@ def _valid_taps(T_in, H_in, W_in, kernel, stride):
 
 
 def _kernel(
-    z_ref, wk_ref, wv_ref, pk_ref, pv_ref, bterm_ref, lnk_ref, lnv_ref,
-    mj_ref, mt_ref, k_out, v_out,
-    *, kt, kh, kw, Ph, Pw, T_out, S_sp, C_in, HC, heads, eps, compute_dtype,
+    z_ref, wk_ref, wv_ref, wrk_ref, wrv_ref, m01_ref, bterm_ref,
+    lnk_ref, lnv_ref, mj_ref, mt_ref, k_out, v_out,
+    *, kt, Ph, Pw, T_out, S_sp, C_in, HC, heads, eps, compute_dtype,
 ):
     """One batch row: z [Tp, S_sp, C_in] -> k,v [T_out, Ph*Pw, HC].
 
-    S_sp = Ph*kh*Pw*kw (spatial taps, (Ph, kh, Pw, kw) order).
-    bterm [2, T_out, Ph*Pw, HC]: precomputed bias * valid-tap-kernel-sum
-    (zero when the projection has no bias).
-    lnk/lnv [2, HC]: tiled LN scale/bias rows.
-    mj [HC, heads] = per-head 0/(1/C) averaging matrix; mt [heads, HC] its
-    0/1 transpose (the FlatGroupLN masked-matmul stats trick).
+    2-D-only formulation (Mosaic-friendly; the first version's 6-d tap
+    slices crashed the remote compile helper): the depthwise pooling is
+    pooled[t] = sum_dt M01 @ (proj[t+dt] * Wrow[dt]) with
+    - Wrow [kt, S_sp, HC]: per-decimated-row tap weight (w[dt, i(s), j(s), c]),
+    - M01 [Ph*Pw, S_sp]: 0/1 window-membership matrix (9 ones per row).
+    bterm [2, T_out, Ph*Pw, HC]: bias * valid-tap-kernel-sum. lnk/lnv
+    [2, HC]: tiled LN affine. mj/mt: FlatGroupLN stats matmuls.
     """
     mj = mj_ref[:]
     mt = mt_ref[:]
+    m01 = m01_ref[:]
 
-    def one(w_ref, p_ref, b_idx, ln_ref, out_ref):
-        w = w_ref[:].astype(compute_dtype)          # [C_in, HC]
-        pw_t = p_ref[:].astype(jnp.float32)         # [kt, kh, kw, HC]
+    def one(w_ref, wr_ref, b_idx, ln_ref, out_ref):
+        w = w_ref[:].astype(compute_dtype)           # [C_in, HC]
         for t in range(T_out):
-            zt = z_ref[0, t : t + kt].astype(compute_dtype)  # [kt,S_sp,C_in]
-            proj = jax.lax.dot_general(
-                zt.reshape(kt * S_sp, C_in), w,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [kt*S_sp, HC] f32
-            proj = proj.reshape(kt, Ph, kh, Pw, kw, HC)
-            acc = jnp.zeros((Ph, Pw, HC), jnp.float32)
+            acc = jnp.zeros((Ph * Pw, HC), jnp.float32)
             for dt in range(kt):
-                for i in range(kh):
-                    for j in range(kw):
-                        acc = acc + proj[dt, :, i, :, j, :] * pw_t[dt, i, j]
-            pooled = acc.reshape(Ph * Pw, HC) + bterm_ref[b_idx, t]
-            # Group LN over C within each head block (masked matmuls).
-            mean = jax.lax.dot_general(
-                pooled, mj, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [P, heads]
-            var = jax.lax.dot_general(
-                pooled * pooled, mj, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) - mean * mean
-            mean_f = jax.lax.dot_general(
-                mean, mt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            inv_f = jax.lax.dot_general(
-                jax.lax.rsqrt(var + eps), mt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                zt = z_ref[0, t + dt].astype(compute_dtype)  # [S_sp, C_in]
+                proj = jax.lax.dot_general(
+                    zt, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [S_sp, HC]
+                acc = acc + jax.lax.dot_general(
+                    m01, proj * wr_ref[dt], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            pooled = acc + bterm_ref[b_idx, t]
+            # Group LN over C within each head block. heads == 1 is a plain
+            # row LayerNorm (VPU reduction; lane-width-1 matmuls are the
+            # prime suspect for the block-0 Mosaic crash).
+            if heads == 1:
+                mean_f = jnp.mean(pooled, axis=-1, keepdims=True)
+                var1 = jnp.mean(pooled * pooled, axis=-1, keepdims=True)
+                inv_f = jax.lax.rsqrt(var1 - mean_f * mean_f + eps)
+            else:
+                mean = jax.lax.dot_general(
+                    pooled, mj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [P, heads]
+                var = jax.lax.dot_general(
+                    pooled * pooled, mj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) - mean * mean
+                mean_f = jax.lax.dot_general(
+                    mean, mt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                inv_f = jax.lax.dot_general(
+                    jax.lax.rsqrt(var + eps), mt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             y = (pooled - mean_f) * inv_f * ln_ref[0] + ln_ref[1]
             out_ref[0, t] = y.astype(out_ref.dtype)
 
-    one(wk_ref, pk_ref, 0, lnk_ref[:], k_out)
-    one(wv_ref, pv_ref, 1, lnv_ref[:], v_out)
+    one(wk_ref, wrk_ref, 0, lnk_ref[:], k_out)
+    one(wv_ref, wrv_ref, 1, lnv_ref[:], v_out)
 
 
 def fused_kv_pool_fwd_only(
@@ -159,8 +166,24 @@ def fused_kv_pool_fwd_only(
          jnp.tile(ln_v[1].astype(jnp.float32), heads)]
     )
 
+    # Per-row tap weights Wrow[dt, s=(p,i,q,j), c] = p_t[dt, i, j, c] and
+    # the 0/1 window-membership matrix M01[(p,q), (p,i,q,j)] (the
+    # decimated rows partition across windows, so M01 has one 1/column).
+    def wrow(p_t):
+        return jnp.broadcast_to(
+            p_t.astype(jnp.float32)[:, None, :, None, :, :],
+            (kt, Ph, kh, Pw, kw, HC),
+        ).reshape(kt, S_sp, HC)
+
+    m01_np = np.zeros((Ph * Pw, S_sp), np.float32)
+    for p in range(Ph):
+        for i in range(kh):
+            for q in range(Pw):
+                for j in range(kw):
+                    m01_np[p * Pw + q, ((p * kh + i) * Pw + q) * kw + j] = 1.0
+
     kern = functools.partial(
-        _kernel, kt=kt, kh=kh, kw=kw, Ph=Ph, Pw=Pw, T_out=T_out,
+        _kernel, kt=kt, Ph=Ph, Pw=Pw, T_out=T_out,
         S_sp=S_sp, C_in=C_in, HC=HC, heads=heads, eps=eps,
         compute_dtype=compute_dtype,
     )
@@ -176,8 +199,9 @@ def fused_kv_pool_fwd_only(
             pl.BlockSpec((1, Tp, S_sp, C_in), lambda b: (b, 0, 0, 0)),
             bspec((C_in, HC)),
             bspec((C_in, HC)),
-            bspec((kt, kh, kw, HC)),
-            bspec((kt, kh, kw, HC)),
+            bspec((kt, S_sp, HC)),
+            bspec((kt, S_sp, HC)),
+            bspec((Ph * Pw, S_sp)),
             bspec((2, T_out, Ph * Pw, HC)),
             bspec((2, HC)),
             bspec((2, HC)),
@@ -195,7 +219,7 @@ def fused_kv_pool_fwd_only(
         interpret=interpret,
     )(
         z, wk.astype(compute_dtype), wv.astype(compute_dtype),
-        pk_t, pv_t, bterm, lnk, lnv,
+        wrow(pk_t), wrow(pv_t), jnp.asarray(m01_np), bterm, lnk, lnv,
         jnp.asarray(
             np.kron(np.eye(heads, dtype=np.float32),
                     np.ones((C, 1), np.float32)) / C

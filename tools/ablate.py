@@ -160,6 +160,14 @@ VARIANTS = {
         c, [("TPU.FUSED_KV_POOL", True), ("TPU.FLAT_LN_VJP", False)]
     ),
     "fused_kv_bs4": lambda c: _set(c, [("TPU.FUSED_KV_POOL", True)]),
+    # Same custom-vjp consolidation with the compact-XLA forward (the
+    # pallas kernel fails the remote compile helper — ROADMAP r4).
+    "fused_kv_xla": lambda c: _set(
+        c, [("TPU.FUSED_KV_POOL", True), ("TPU.FUSED_KV_IMPL", "xla")]
+    ),
+    "eval_fused_kv_xla": lambda c: _set(
+        c, [("TPU.FUSED_KV_POOL", True), ("TPU.FUSED_KV_IMPL", "xla")]
+    ),
     # Token-chunked MLP (round 4): the [N, 4C] hidden stays chunk-sized.
     "mlp_chunk2k": lambda c: _set(c, [("TPU.MLP_CHUNK", 2048)]),
     "mlp_chunk4k": lambda c: _set(c, [("TPU.MLP_CHUNK", 4096)]),

@@ -21,6 +21,7 @@ import numpy as np
 
 from pmv_tpu.data import transform
 from pmv_tpu.data.ava import MAX_BOXES, get_sequence, parse_bboxes_file
+from pmv_tpu.visualization import video_vis
 from pmv_tpu.engine import steps
 from pmv_tpu.models import build_model
 from pmv_tpu.utils import checkpoint as cu
@@ -28,25 +29,6 @@ from pmv_tpu.utils import logging as pmv_logging
 from pmv_tpu.visualization.tensorboard_vis import get_class_names
 
 logger = pmv_logging.get_logger(__name__)
-
-
-def _draw_boxes(frame, boxes, texts):
-    from PIL import Image, ImageDraw
-
-    img = Image.fromarray(frame)
-    draw = ImageDraw.Draw(img)
-    for box, lines in zip(boxes, texts):
-        x1, y1, x2, y2 = [float(v) for v in box]
-        draw.rectangle([x1, y1, x2, y2], outline=(0, 255, 0), width=2)
-        y = y1 + 2
-        for text in lines:
-            draw.rectangle(
-                [x1 + 1, y - 1, x1 + 5 + 7 * len(text), y + 11],
-                fill=(0, 0, 0),
-            )
-            draw.text((x1 + 3, y), text, fill=(0, 255, 0))
-            y += 13
-    return np.asarray(img)
 
 
 def ava_demo(cfg):
@@ -159,13 +141,13 @@ def ava_demo(cfg):
             [reader.width, reader.height, reader.width, reader.height],
             np.float32,
         )
-        texts = []
+        labels = []
         for i in range(n):
             top = np.argsort(scores[i])[::-1][: cfg.DEMO.NUM_VIS_INSTANCES]
-            texts.append(
-                [f"{name_of(j + 1)}: {scores[i, j]:.2f}" for j in top]
+            labels.append(
+                [(int(j), name_of(j + 1), float(scores[i, j])) for j in top]
             )
-        per_keyframe[kf] = (orig_px[:n], texts)
+        per_keyframe[kf] = (orig_px[:n], labels)
         logger.info("keyframe sec %d: %d boxes", sec, n)
 
     # Render: every frame carries its nearest-preceding keyframe's boxes.
@@ -181,8 +163,10 @@ def ava_demo(cfg):
                 cur += 1
             f = frames[off]
             if cur >= 0:
-                boxes, texts = per_keyframe[kf_sorted[cur]]
-                f = _draw_boxes(f, boxes, texts)
+                boxes, labels = per_keyframe[kf_sorted[cur]]
+                f = video_vis.draw_boxes(
+                    f, boxes, labels, num_classes=cfg.MODEL.NUM_CLASSES
+                )
             out_frames.append(f)
     reader.close()
 

@@ -29,22 +29,10 @@ from pmv_tpu.engine import steps
 from pmv_tpu.models import build_model
 from pmv_tpu.utils import checkpoint as cu
 from pmv_tpu.utils import logging as pmv_logging
+from pmv_tpu.visualization import video_vis
 from pmv_tpu.visualization.tensorboard_vis import get_class_names
 
 logger = pmv_logging.get_logger(__name__)
-
-
-def _annotate(frame, lines):
-    from PIL import Image, ImageDraw
-
-    img = Image.fromarray(frame)
-    draw = ImageDraw.Draw(img)
-    y = 4
-    for text in lines:
-        draw.rectangle([2, y - 2, 6 + 7 * len(text), y + 12], fill=(0, 0, 0))
-        draw.text((4, y), text, fill=(0, 255, 0))
-        y += 16
-    return np.asarray(img)
 
 
 def _cv2_stream_windows(cap, t, clip_len):
@@ -187,13 +175,16 @@ def demo(cfg):
         if isinstance(item, BaseException):
             raise item
         w, frames, preds = item
-        topk = np.argsort(preds)[::-1][: cfg.DEMO.CLIP_VIS_SIZE]
-        lines = [
-            f"{class_names[i] if i < len(class_names) else i}: {preds[i]:.3f}"
-            for i in topk[:3]
-        ]
         for f in frames:
-            out_frames.append(_annotate(f, lines))
+            out_frames.append(
+                video_vis.draw_predictions(
+                    f, preds, class_names,
+                    top_k=max(cfg.DEMO.CLIP_VIS_SIZE, 1),
+                    thres=cfg.DEMO.COMMON_CLASS_THRES
+                    if cfg.DEMO.COMMON_CLASS_NAMES else 0.0,
+                    num_classes=cfg.MODEL.NUM_CLASSES,
+                )
+            )
     if reader is not None:
         reader.close()
 

@@ -238,3 +238,25 @@ def test_visualize_predictions_path_offline(tmp_path):
 # selection (pyproject addopts -m 'not slow'); run with -m slow or
 # -m "slow or not slow" for the full suite.
 pytestmark = pytest.mark.slow
+
+
+def test_video_vis_overlays():
+    """Shared VideoVisualizer-parity renderer: deterministic class colors,
+    lower-third predictions, labeled boxes."""
+    import numpy as np
+
+    from pmv_tpu.visualization import video_vis
+
+    frame = np.zeros((64, 96, 3), np.uint8)
+    preds = np.array([0.1, 0.7, 0.2], np.float32)
+    out = video_vis.draw_predictions(frame, preds, ["a", "b", "c"], top_k=2)
+    assert out.shape == frame.shape and out.dtype == np.uint8
+    assert (out != 0).any()
+    # Same class id -> same color; different -> different.
+    assert video_vis.class_color(3, 10) == video_vis.class_color(3, 10)
+    assert video_vis.class_color(3, 10) != video_vis.class_color(7, 10)
+    out2 = video_vis.draw_boxes(
+        frame, np.array([[8, 8, 60, 50]], np.float32),
+        [[(2, "run", 0.9), (5, "jump", 0.4)]],
+    )
+    assert (out2 != 0).any()

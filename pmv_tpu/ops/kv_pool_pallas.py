@@ -314,6 +314,21 @@ def make_fused_kv_pool(
             outs.append(y.astype(out_dtype))
         return tuple(outs)
 
+    def vmem_estimate_bytes(z, HC):
+        """Static VMEM footprint of the kernel's resident blocks. The v2
+        kernel at block-1 geometry (~19 MB) WEDGED the TPU worker (hung
+        past SIGTERM, round-2 failure class) — geometries whose blocks
+        don't comfortably fit VMEM take the XLA forward instead."""
+        B, Tp, S_sp, C_in = z.shape
+        bpe = 2 if z.dtype == jnp.bfloat16 else 4
+        z_b = Tp * S_sp * C_in * bpe
+        wrow_b = 2 * kt * S_sp * HC * 4
+        m01_b = Ph * Pw * S_sp * 4
+        bterm_b = 2 * T_out * Ph * Pw * HC * 4
+        out_b = 2 * T_out * Ph * Pw * HC * bpe
+        work_b = 2 * S_sp * HC * 4  # proj + acc working tiles
+        return z_b + wrow_b + m01_b + bterm_b + out_b + work_b
+
     def fwd_kernel(z, params):
         return fused_kv_pool_fwd_only(
             z, params["wk"], params["wv"],
@@ -328,7 +343,9 @@ def make_fused_kv_pool(
 
     @jax.custom_vjp
     def fused_kv(z, params):
-        if use_pallas:
+        if use_pallas and vmem_estimate_bytes(
+            z, params["wk"].shape[1]
+        ) <= 10 * 1024 * 1024:
             return fwd_kernel(z, params)
         return fwd_math(z, params)
 

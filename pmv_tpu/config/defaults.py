@@ -633,15 +633,6 @@ _C.TPU.ATTN_CHUNK_REMAT = True
 # HBM (154 MB per direction at MViT block 0, bs 8). 0 = off. Same math;
 # dropout>0 paths ignore it (see models/common.py Mlp).
 _C.TPU.MLP_CHUNK = 0
-# Fused sparse-KV Pallas pass (projection + 27-tap pool + group LN in one
-# VMEM-resident kernel per block; XLA-einsum backward). Only active where
-# the sparse-KV layout applies (FLAT_POOLS + disjoint-window strides —
-# MViTv2-S blocks 0-2). Exactness-tested (tests/test_kv_pool_pallas.py).
-_C.TPU.FUSED_KV_POOL = False
-# Forward implementation for the fused sparse-KV op: "pallas" (the VMEM
-# kernel) or "xla" (compact einsums — still one custom-vjp site with the
-# 3-shifted-adds backward instead of autodiff's 27 slice gradients).
-_C.TPU.FUSED_KV_IMPL = "pallas"
 # Hand-written backward for the flat-pool group LayerNorm (standard LN
 # gradient via the masked-matmul trick) instead of autodiff through the
 # E[x^2] stats chain. Exactness-tested vs autodiff; measured WIN on v5e

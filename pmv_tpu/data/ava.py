@@ -123,6 +123,16 @@ def load_boxes_and_labels(cfg, mode):
 
 @DATASET_REGISTRY.register(name="Ava")
 class Ava:
+    """AVA keyframe detection dataset (`ava_dataset.py`, cv2 backend).
+
+    Known protocol deviation (recorded): the reference TEST split scales
+    the short side and keeps the full RECT frame (no crop,
+    `ava_dataset.py` test branch); static TPU batch shapes need one
+    geometry, so val and test both center-crop to TEST_CROP_SIZE here
+    (the reference's VAL protocol). Train aug covers scale-jitter +
+    box-aware crop/flip + optional color/PCA jitter
+    (AVA.TRAIN_USE_COLOR_AUGMENTATION)."""
+
     def __init__(self, cfg, mode):
         assert mode in ["train", "val", "test"]
         self.cfg = cfg

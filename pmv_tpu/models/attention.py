@@ -726,11 +726,6 @@ class MultiScaleAttention(nn.Module):
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     attn_q_chunk: int = 0  # q-tiled attention chunk rows (0 = off)
     attn_chunk_remat: bool = True  # recompute chunk probs in backward
-    # One fused pass for the sparse-KV half (projection + 27-tap pool +
-    # group LN, TPU.FUSED_KV_POOL): replaces ~60 small XLA ops per sparse
-    # block; backward is compact XLA einsums (ops/kv_pool_pallas.py).
-    fused_kv_pool: bool = False
-    fused_kv_impl: str = "pallas"  # "pallas" | "xla" forward
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -803,7 +798,6 @@ class MultiScaleAttention(nn.Module):
         # data movement XLA must schedule is inside the attention einsums.
         kv_grid = None
         bias_k = bias_v = None
-        fused_kv_done = None  # (T_out, Ph, Pw) when the fused KV pass ran
         if self.pool_first:
             fold = self.num_heads
             q = k = v = x.reshape(B, N, fold, -1)
@@ -811,87 +805,6 @@ class MultiScaleAttention(nn.Module):
             q = dense(self.dim_out, "q")(x).reshape(B, N, self.num_heads, -1)
             k = dense(self.dim_out, "k")(x).reshape(B, N, self.num_heads, -1)
             v = dense(self.dim_out, "v")(x).reshape(B, N, self.num_heads, -1)
-        elif use_sparse_kv and use_flat and self.fused_kv_pool:
-            # Fused sparse-KV half: ONE Pallas pass per block does the K/V
-            # projection dots + 27-tap pool + padding-bias correction +
-            # group LN (ops/kv_pool_pallas.py). The q slice still projects
-            # through the shared fused-qkv params; a cls row (if any) takes
-            # the plain XLA path (single row).
-            from pmv_tpu.ops import kv_pool_pallas as _kvp
-
-            toks = x[:, 1:] if self.has_cls_embed else x
-            g6, kv_grid = decimate_pool_windows(
-                toks, thw_shape, self.kernel_kv, self.stride_kv
-            )
-            qkv_mod = FusedQKVSplitDots(
-                dim_out=self.dim_out, num_heads=self.num_heads,
-                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
-            )
-            cls_rows = x[:, :1] if self.has_cls_embed else x[:, :0]
-            q, k_cls, v_cls, (bias_k, bias_v) = qkv_mod(
-                x, kv=cls_rows, flat=use_flat
-            )
-            z = g6.reshape(B, g6.shape[1], -1, x.shape[-1])
-            # Materialize pool/LN params with a dead (DCE'd) B=1 call.
-            pool_mods = {}
-            dummy = jnp.zeros(
-                (1, z.shape[1] * z.shape[2], self.dim_out), self.dtype
-            )
-            for nm in ("pool_k", "pool_v"):
-                pool_mods[nm] = AttentionPool(
-                    kernel=self.kernel_kv, stride=self.stride_kv,
-                    mode=self.mode, has_cls_embed=False,
-                    flat=True, heads=self.num_heads,
-                    flat_ln_vjp=self.flat_ln_vjp,
-                    dtype=self.dtype, name=nm,
-                )
-                _ = pool_mods[nm](dummy, thw_shape, sparse_grid=kv_grid)
-            qkv_kernel = qkv_mod.variables["params"]["kernel"]
-            D = self.dim_out
-            fkv_params = {
-                "wk": jax.lax.slice_in_dim(qkv_kernel, D, 2 * D, axis=1),
-                "wv": jax.lax.slice_in_dim(qkv_kernel, 2 * D, 3 * D, axis=1),
-                "pk": pool_mods["pool_k"].variables["params"]["pool_kernel"],
-                "pv": pool_mods["pool_v"].variables["params"]["pool_kernel"],
-                "sk": pool_mods["pool_k"].variables["params"]["norm"]["scale"],
-                "bk_ln": pool_mods["pool_k"].variables["params"]["norm"]["bias"],
-                "sv": pool_mods["pool_v"].variables["params"]["norm"]["scale"],
-                "bv_ln": pool_mods["pool_v"].variables["params"]["norm"]["bias"],
-            }
-            if self.qkv_bias:
-                fkv_params["bk"] = bias_k
-                fkv_params["bv"] = bias_v
-            fused, (t_o, p_h, p_w) = _kvp.make_fused_kv_pool(
-                grid_thw=tuple(thw_shape), kernel=tuple(self.kernel_kv),
-                stride=tuple(self.stride_kv), heads=self.num_heads,
-                eps=1e-6, compute_dtype=self.dtype,
-                out_dtype=self.dtype, has_bias=self.qkv_bias,
-                use_pallas=(
-                    self.fused_kv_impl == "pallas"
-                    and jax.default_backend() == "tpu"
-                ),
-            )
-            k, v = fused(z, fkv_params)
-            k = k.reshape(B, -1, self.dim_out)
-            v = v.reshape(B, -1, self.dim_out)
-            if self.has_cls_embed:
-                def _cls_ln(rows, nm):
-                    sc = jnp.tile(
-                        fkv_params[f"s{nm}"].astype(jnp.float32),
-                        self.num_heads,
-                    )
-                    bi = jnp.tile(
-                        fkv_params[f"b{nm}_ln"].astype(jnp.float32),
-                        self.num_heads,
-                    )
-                    return _kvp._ln_rows(
-                        rows.astype(jnp.float32), sc, bi, self.num_heads,
-                        1e-6,
-                    ).astype(self.dtype)
-
-                k = jnp.concatenate([_cls_ln(k_cls, "k"), k], axis=1)
-                v = jnp.concatenate([_cls_ln(v_cls, "v"), v], axis=1)
-            fused_kv_done = (t_o, p_h, p_w)
         elif use_sparse_kv:
             toks = x[:, 1:] if self.has_cls_embed else x
             g6, kv_grid = decimate_pool_windows(
@@ -921,27 +834,24 @@ class MultiScaleAttention(nn.Module):
             flat_ln_vjp=self.flat_ln_vjp,
             dtype=self.dtype, name="pool_q",
         )(q, thw_shape)
-        if fused_kv_done is not None:
-            k_shape = v_shape = fused_kv_done
-        else:
-            k, k_shape = AttentionPool(
-                kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-                has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
-                use_pallas_pools=self.use_pallas_pools,
-                pool_impl=self.pool_impl,
-                flat=use_flat, heads=self.num_heads,
-                flat_ln_vjp=self.flat_ln_vjp,
-                dtype=self.dtype, name="pool_k",
-            )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
-            v, v_shape = AttentionPool(
-                kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-                has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
-                use_pallas_pools=self.use_pallas_pools,
-                pool_impl=self.pool_impl,
-                flat=use_flat, heads=self.num_heads,
-                flat_ln_vjp=self.flat_ln_vjp,
-                dtype=self.dtype, name="pool_v",
-            )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
+        k, k_shape = AttentionPool(
+            kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
+            flat=use_flat, heads=self.num_heads,
+            flat_ln_vjp=self.flat_ln_vjp,
+            dtype=self.dtype, name="pool_k",
+        )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
+        v, v_shape = AttentionPool(
+            kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
+            use_pallas_pools=self.use_pallas_pools,
+            pool_impl=self.pool_impl,
+            flat=use_flat, heads=self.num_heads,
+            flat_ln_vjp=self.flat_ln_vjp,
+            dtype=self.dtype, name="pool_v",
+        )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
         if use_flat:
             # One per-head unfold per tensor, at the einsum boundary.
             q = q.reshape(B, q.shape[1], self.num_heads, head_dim)
@@ -1147,8 +1057,6 @@ class MultiScaleBlock(nn.Module):
     attn_q_chunk: int = 0
     attn_chunk_remat: bool = True
     mlp_chunk: int = 0
-    fused_kv_pool: bool = False
-    fused_kv_impl: str = "pallas"  # "pallas" | "xla" forward
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -1200,8 +1108,6 @@ class MultiScaleBlock(nn.Module):
             attn_impl=self.attn_impl,
             attn_q_chunk=self.attn_q_chunk,
             attn_chunk_remat=self.attn_chunk_remat,
-            fused_kv_pool=self.fused_kv_pool,
-            fused_kv_impl=self.fused_kv_impl,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)

@@ -321,8 +321,6 @@ class MViT(nn.Module):
                 attn_q_chunk=cfg.TPU.ATTN_Q_CHUNK,
                 attn_chunk_remat=cfg.TPU.ATTN_CHUNK_REMAT,
                 mlp_chunk=cfg.TPU.MLP_CHUNK,
-                fused_kv_pool=cfg.TPU.FUSED_KV_POOL,
-                fused_kv_impl=cfg.TPU.FUSED_KV_IMPL,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

@@ -149,25 +149,6 @@ VARIANTS = {
     "flat_bs32_novjp": lambda c: _set(
         c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0), ("TPU.FLAT_LN_VJP", False)]
     ),
-    # Fused sparse-KV Pallas pass (round 4): projection + pool + LN in one
-    # kernel per sparse block (blocks 0-2).
-    "fused_kv": lambda c: _set(c, [("TPU.FUSED_KV_POOL", True)]),
-    "eval_fused_kv": lambda c: _set(c, [("TPU.FUSED_KV_POOL", True)]),
-    "fused_kv_nochunk": lambda c: _set(
-        c, [("TPU.FUSED_KV_POOL", True), ("TPU.ATTN_Q_CHUNK", 0)]
-    ),
-    "fused_kv_novjp": lambda c: _set(
-        c, [("TPU.FUSED_KV_POOL", True), ("TPU.FLAT_LN_VJP", False)]
-    ),
-    "fused_kv_bs4": lambda c: _set(c, [("TPU.FUSED_KV_POOL", True)]),
-    # Same custom-vjp consolidation with the compact-XLA forward (the
-    # pallas kernel fails the remote compile helper — ROADMAP r4).
-    "fused_kv_xla": lambda c: _set(
-        c, [("TPU.FUSED_KV_POOL", True), ("TPU.FUSED_KV_IMPL", "xla")]
-    ),
-    "eval_fused_kv_xla": lambda c: _set(
-        c, [("TPU.FUSED_KV_POOL", True), ("TPU.FUSED_KV_IMPL", "xla")]
-    ),
     # Token-chunked MLP (round 4): the [N, 4C] hidden stays chunk-sized.
     "mlp_chunk2k": lambda c: _set(c, [("TPU.MLP_CHUNK", 2048)]),
     "mlp_chunk4k": lambda c: _set(c, [("TPU.MLP_CHUNK", 4096)]),
@@ -242,7 +223,7 @@ def time_variant(name):
         "flat_bs32": 32, "flat_bs32_d4": 32, "flat_bs32_d2": 32,
         "flat_bs32_d1": 32, "flat_bs32_norel": 32, "flat_bs32_nochunk": 32,
         "flat_bs32_noaug": 32, "flat_bs32_nosparse": 32,
-        "flat_bs32_novjp": 32, "fused_kv_bs4": 4,
+        "flat_bs32_novjp": 32,
     }.get(name, BATCH)
     model = build_model(cfg)
     from pmv_tpu.utils import misc

@@ -6,64 +6,21 @@ Transforms: basic (3x3x3 + 3x3x3), bottleneck (Tx1x1 -> 1x3x3 -> 1x1x1), X3D
 shortcut + drop-connect; ResStage stacks per-pathway blocks.
 """
 
-import os
 from typing import Any, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from pmv_tpu.models.common import DropPath, round_width
 
 
-class PointwiseConv3D(nn.Module):
-    """1x1x1 conv computed as a token matmul (identical param tree to
-    ``nn.Conv(dim_out, (1,1,1))``: kernel [1,1,1,Cin,Cout], no bias).
-
-    X3D/ResNet channel counts are tiny (24-432); XLA's conv lowering for
-    these is dispatch/layout-pathological on TPU (X3D-M per-op profile:
-    the s2 branch2/a 1x1x1 conv BACKWARD alone was 6.9 ms of a 48 ms
-    step). A plain dot_general lowers to the MXU matmul + clean transposed
-    gradients. Stride is applied as a strided slice first (exact for a
-    pointwise kernel)."""
-
-    dim_out: int
-    stride: int = 1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (1, 1, 1, x.shape[-1], self.dim_out),
-        )
-        if self.stride > 1:
-            x = x[:, :, :: self.stride, :: self.stride]
-        x, w = nn.dtypes.promote_dtype(
-            x, kernel.reshape(x.shape[-1], self.dim_out), dtype=self.dtype
-        )
-        return jax.lax.dot_general(x, w, (((x.ndim - 1,), (0,)), ((), ())))
-
-
-# A/B switch for the pointwise-dot lowering (PMV_POINTWISE_DOT=0 restores
-# nn.Conv); param trees are identical either way.
-_POINTWISE_AS_DOT = os.environ.get("PMV_POINTWISE_DOT", "1") == "1"
-
-
 def _conv(dim_out, kernel, stride, padding, groups=1, name=None,
           dtype=jnp.float32, dilation=1):
-    if (
-        _POINTWISE_AS_DOT
-        and tuple(kernel) == (1, 1, 1)
-        and groups == 1
-        and tuple(padding) == (0, 0, 0)
-        and stride[0] == 1
-        and stride[1] == stride[2]
-    ):
-        return PointwiseConv3D(
-            dim_out, stride=stride[1], dtype=dtype, name=name
-        )
+    # NOTE (round 4, measured): lowering the 1x1x1 convs as token matmuls
+    # (dot_general on [N, Cin] @ [Cin, Cout], identical param tree) LOSES
+    # end-to-end despite the per-op profile blaming the conv backwards:
+    # X3D-M 51.98 -> 60.89 ms/step, SlowFast 157.4 -> 168.7 on v5e. XLA's
+    # conv-fusion graph wins again; implementation in git history.
     return nn.Conv(
         dim_out, tuple(kernel), tuple(stride),
         padding=[(p, p) for p in padding],

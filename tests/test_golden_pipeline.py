@@ -296,3 +296,71 @@ def test_full_pipeline_golden_parity(corpus):
         ours_ensemble, ref_ensemble, atol=3e-3, rtol=0,
         err_msg="full-pipeline ensembled predictions drifted",
     )
+
+
+def _reference_views_3crop(cfg, path, ref_decoder, ref_utils):
+    """Test-mode 3-spatial-crop protocol (NUM_SPATIAL_CROPS=3: short side
+    scaled to TEST_CROP_SIZE, uniform crops 0/1/2 — `kinetics.py:244-248`,
+    `utils.py:spatial_sampling` else-branch)."""
+    frames_all, fps = _cv2_decode_all(path)
+    n = frames_all.shape[0]
+    t_all = torch.from_numpy(frames_all)
+    clip_size = np.maximum(1.0, RATE * T / cfg.DATA.TARGET_FPS * fps)
+    views = []
+    for view in range(VIEWS):
+        se = ref_decoder.get_multiple_start_end_idx(
+            n, [clip_size], view, VIEWS,
+            use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+        )
+        clip = ref_decoder.temporal_sampling(t_all, se[0, 0], se[0, 1], T)
+        f0 = ref_utils.tensor_normalize(
+            clip.float() / 255.0, cfg.DATA.MEAN, cfg.DATA.STD
+        ).permute(3, 0, 1, 2)
+        for spatial_idx in range(3):
+            f = ref_utils.spatial_sampling(
+                f0.clone(),
+                spatial_idx=spatial_idx,
+                min_scale=cfg.DATA.TEST_CROP_SIZE,
+                max_scale=cfg.DATA.TEST_CROP_SIZE,
+                crop_size=cfg.DATA.TEST_CROP_SIZE,
+                random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+                inverse_uniform_sampling=False,
+                aspect_ratio=None, scale=None, motion_shift=False,
+                rect_crop_size=[], auto_adjust=False,
+            )
+            views.append(f)
+    return views
+
+
+@pytest.mark.slow
+def test_full_pipeline_golden_parity_3crop(corpus):
+    """Square 3-spatial-crop x 2-temporal-view protocol (the SlowFast/X3D
+    test protocol) — decoded view parity through the production dataset."""
+    root, vids, rows = corpus
+    cfg = _cfg(root, vids)
+    cfg.DATA.TEST_CROP_SIZE_RECT = []
+    cfg.DATA.TEST_CROP_SIZE_RECT_SWITCH_AUTO = False
+    cfg.DATA.TEST_JITTER_SCALES_AUTO_ADJUST = False
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+
+    ref_decoder, ref_utils, _ = import_reference_data("MViT")
+    from pmv_tpu.data.build import build_dataset
+    import pmv_tpu.data.kinetics  # noqa: F401
+
+    ds = build_dataset("kinetics", cfg, "test")
+    n_views = VIEWS * 3
+    mean = np.asarray(cfg.DATA.MEAN, np.float32)
+    std = np.asarray(cfg.DATA.STD, np.float32)
+    for vi, row in enumerate(rows):
+        name = row.split(",")[0]
+        views = _reference_views_3crop(
+            cfg, vids / name, ref_decoder, ref_utils
+        )
+        for v, rf in enumerate(views):
+            ours = ds[vi * n_views + v]
+            of = (ours["frames"].astype(np.float32) / 255.0 - mean) / std
+            np.testing.assert_allclose(
+                of, rf.numpy().transpose(1, 2, 3, 0), atol=0.08, rtol=0,
+                err_msg=f"3crop view drifted (video {vi}, view {v})",
+            )

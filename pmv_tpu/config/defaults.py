@@ -628,15 +628,6 @@ _C.TPU.ATTN_Q_CHUNK = 0
 # chunk body) instead of storing them fwd->bwd. Required for the large-
 # batch memory win; turn off to measure store-vs-recompute.
 _C.TPU.ATTN_CHUNK_REMAT = True
-# Token-chunked transformer MLP (fc1->gelu->fc2 per chunk of this many
-# tokens, recompute-in-backward): the [N, 4C] hidden never lives whole in
-# HBM (154 MB per direction at MViT block 0, bs 8). 0 = off. Same math;
-# dropout>0 paths ignore it (see models/common.py Mlp). MEASURED at bs8
-# on v5e: 85.7 -> 88.3/87.6/85.5 ms at chunk 2k/4k/8k — the hidden's
-# traffic overlaps behind compute, so the production bs8 recipe keeps
-# this off; the bs32 re-test (where ATTN_Q_CHUNK's analogous win lives)
-# is still owed (ROADMAP round-4 ledger).
-_C.TPU.MLP_CHUNK = 0
 # Hand-written backward for the flat-pool group LayerNorm (standard LN
 # gradient via the masked-matmul trick) instead of autodiff through the
 # E[x^2] stats chain. Exactness-tested vs autodiff; measured WIN on v5e

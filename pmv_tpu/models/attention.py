@@ -1056,7 +1056,6 @@ class MultiScaleBlock(nn.Module):
     attn_impl: str = "batched"
     attn_q_chunk: int = 0
     attn_chunk_remat: bool = True
-    mlp_chunk: int = 0
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -1164,7 +1163,6 @@ class MultiScaleBlock(nn.Module):
             hidden_features=mlp_hidden,
             out_features=self.dim_out,
             drop_rate=self.drop_rate,
-            chunk=self.mlp_chunk,
             dtype=self.dtype,
             name="mlp",
         )(x_norm, deterministic=deterministic)

@@ -23,72 +23,39 @@ def trunc_normal_init(std=0.02):
 class Mlp(nn.Module):
     """Transformer MLP (fc1 -> act -> drop -> fc2 -> drop).
 
-    ``chunk`` > 0 token-chunks the fc1->gelu->fc2 chain (unrolled static
-    slices like ``chunked_attention``) with recompute-in-backward, so the
-    [N, hidden] activation never lives whole in HBM (154 MB per direction
-    at MViT block 0, bs 8) — same math, traffic-only change. Dropout paths
-    keep the unchunked lowering (per-chunk rng plumbing isn't worth it for
-    recipes that train with drop_rate 0).
+    A token-chunked lowering with recompute-in-backward (the [N, 4C]
+    hidden never whole in HBM) was built and measured in round 4 and LOST
+    at both bs8 (85.7 -> 88.3/87.6/85.5 ms at chunk 2k/4k/8k) and bs32
+    (437.5 -> 447.2): the hidden's traffic overlaps behind compute.
+    Implementation in git history; ROADMAP carries the ledger entry.
     """
 
     hidden_features: int
     out_features: int
     act_layer: Callable = nn.gelu
     drop_rate: float = 0.0
-    chunk: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        fc1 = nn.Dense(
+        x = nn.Dense(
             self.hidden_features,
             dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02),
             name="fc1",
-        )
-        fc2 = nn.Dense(
+        )(x)
+        x = self.act_layer(x)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = nn.Dense(
             self.out_features,
             dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02),
             name="fc2",
-        )
-        use_chunk = (
-            self.chunk > 0
-            and self.drop_rate == 0.0
-            and x.ndim == 3
-            and x.shape[1] > self.chunk
-        )
-        if not use_chunk:
-            x = self.act_layer(fc1(x))
-            if self.drop_rate > 0:
-                x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-            x = fc2(x)
-            if self.drop_rate > 0:
-                x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-            return x
-
-        # Materialize params on a 1-token slice (the tiny dot is DCE'd),
-        # then run the chunk loop as pure jax on the bound params — flax
-        # modules can't be first-called inside raw jax.checkpoint.
-        _ = fc2(self.act_layer(fc1(x[:, :1])))
-        w1 = fc1.variables["params"]["kernel"].astype(self.dtype)
-        b1 = fc1.variables["params"]["bias"].astype(self.dtype)
-        w2 = fc2.variables["params"]["kernel"].astype(self.dtype)
-        b2 = fc2.variables["params"]["bias"].astype(self.dtype)
-
-        @jax.checkpoint
-        def chain(xc):
-            h = self.act_layer(xc.astype(self.dtype) @ w1 + b1)
-            return h @ w2 + b2
-
-        n = x.shape[1]
-        outs = []
-        for i in range(0, n, self.chunk):
-            xc = jax.lax.slice_in_dim(x, i, min(i + self.chunk, n), axis=1)
-            outs.append(chain(xc))
-        if len(outs) == 1:
-            return outs[0]
-        return jnp.concatenate(outs, axis=1)
+        )(x)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x
 
 
 def drop_path(x, rate, deterministic, rng):

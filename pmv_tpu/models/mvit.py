@@ -320,7 +320,6 @@ class MViT(nn.Module):
                 attn_impl=cfg.MVIT.ATTN_IMPL,
                 attn_q_chunk=cfg.TPU.ATTN_Q_CHUNK,
                 attn_chunk_remat=cfg.TPU.ATTN_CHUNK_REMAT,
-                mlp_chunk=cfg.TPU.MLP_CHUNK,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

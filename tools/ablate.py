@@ -149,11 +149,6 @@ VARIANTS = {
     "flat_bs32_novjp": lambda c: _set(
         c, [("MVIT.FLAT_POOLS_MAX_BATCH", 0), ("TPU.FLAT_LN_VJP", False)]
     ),
-    # Token-chunked MLP (round 4): the [N, 4C] hidden stays chunk-sized.
-    "mlp_chunk2k": lambda c: _set(c, [("TPU.MLP_CHUNK", 2048)]),
-    "mlp_chunk4k": lambda c: _set(c, [("TPU.MLP_CHUNK", 4096)]),
-    "mlp_chunk8k": lambda c: _set(c, [("TPU.MLP_CHUNK", 8192)]),
-    "mlp_chunk2k_bs32": lambda c: _set(c, [("TPU.MLP_CHUNK", 2048)]),
     "chunk2k_noremat": lambda c: _set(
         c, [("TPU.ATTN_Q_CHUNK", 2048), ("TPU.ATTN_CHUNK_REMAT", False)]
     ),
@@ -219,7 +214,7 @@ def time_variant(name):
         "chunk1k_bs32": 32, "chunk2k_bs32": 32,
         "chunk1k_bs64": 64, "chunk2k_bs64": 64,
         "chunk512_bs64": 64, "chunk512_bs48": 48,
-        "noflat_bs32": 32, "mlp_chunk2k_bs32": 32,
+        "noflat_bs32": 32,
         "flat_bs32": 32, "flat_bs32_d4": 32, "flat_bs32_d2": 32,
         "flat_bs32_d1": 32, "flat_bs32_norel": 32, "flat_bs32_nochunk": 32,
         "flat_bs32_noaug": 32, "flat_bs32_nosparse": 32,

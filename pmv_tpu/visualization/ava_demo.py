@@ -4,14 +4,16 @@ Equivalent of the reference's
 `slowfast/visualization/ava_demo_precomputed_boxes.py`
 (AVAVisualizerWithPrecomputedBox): person boxes come from a csv
 (`DEMO.PREDS_BOXES`, AVA list format), each keyframe's clip runs through the
-detection model (RoIAlign head), and the video is re-rendered with per-box
-action labels.
+detection model (RoIAlign head), and the video is re-rendered through the
+reference draw protocol (`ava_demo_precomputed_boxes.py:193-311`):
+overlapping clips share a carried buffer, boxes fade in/out across
+``draw_range`` (2/10 of the clip around the keyframe), predictions render
+slowed down by ``DEMO.SLOWMO``, and ground-truth boxes from
+``DEMO.GT_BOXES`` overlay as red dashed boxes.
 
 TPU-native differences: the native FFmpeg reader replaces the cv2 capture
-loop, a single jitted detection step replaces the cuda forward, and frames
-are annotated with PIL. Every output frame carries the predictions of its
-nearest-preceding keyframe (the reference's draw_video interpolation
-behavior).
+loop, a single jitted detection step replaces the cuda forward, and drawing
+runs on PIL via the shared `VideoVisualizer`.
 """
 
 import os
@@ -21,19 +23,86 @@ import numpy as np
 
 from pmv_tpu.data import transform
 from pmv_tpu.data.ava import MAX_BOXES, get_sequence, parse_bboxes_file
-from pmv_tpu.visualization import video_vis
 from pmv_tpu.engine import steps
 from pmv_tpu.models import build_model
 from pmv_tpu.utils import checkpoint as cu
 from pmv_tpu.utils import logging as pmv_logging
-from pmv_tpu.visualization.tensorboard_vis import get_class_names
+from pmv_tpu.visualization.video_vis import VideoVisualizer
 
 logger = pmv_logging.get_logger(__name__)
 
 
+def load_boxes_labels(cfg, video_name, fps, img_width, img_height):
+    """Load pred (and optional GT) boxes keyed by keyframe index, in display
+    pixels, labels shifted to 0-based (`ava_demo_precomputed_boxes.py:390-467`).
+
+    Returns (pred_boxes, gt_boxes): each maps frame_idx -> [boxes, labels]
+    where boxes is a list of pixel xyxy and labels[i] a list of class ids.
+    gt_boxes is None when DEMO.GT_BOXES is unset.
+    """
+    starting = cfg.DEMO.STARTING_SECOND
+
+    def _one(path, is_gt):
+        by_video = parse_bboxes_file(
+            path, is_gt=is_gt, detect_thresh=cfg.AVA.DETECTION_SCORE_THRESH
+        )
+        if video_name in by_video:
+            by_sec = by_video[video_name]
+        elif len(by_video) == 1:
+            by_sec = next(iter(by_video.values()))
+        else:
+            raise KeyError(
+                f"{video_name} not in {path} (has {sorted(by_video)[:5]}...)"
+            )
+        out = {}
+        for sec, entries in by_sec.items():
+            if not entries:
+                continue
+            kf = int(round((sec - starting) * fps))
+            boxes = np.array([b[0] for b in entries.values()], np.float32)
+            boxes[:, [0, 2]] *= img_width
+            boxes[:, [1, 3]] *= img_height
+            labels = [
+                [i - 1 for i in b[1]] for b in entries.values()
+            ]  # 1-based AVA ids -> 0-based display ids
+            out[kf] = [boxes.tolist(), labels]
+        return out
+
+    pred = _one(cfg.DEMO.PREDS_BOXES, is_gt=False)
+    gt = _one(cfg.DEMO.GT_BOXES, is_gt=True) if cfg.DEMO.GT_BOXES else None
+    return pred, gt
+
+
+def merge_pred_gt_boxes(pred_dict, gt_dict=None):
+    """frame_idx -> list of [is_gt, boxes, labels] (`visualization/utils.py`
+    merge_pred_gt_boxes)."""
+    merged = {k: [[False, v[0], v[1]]] for k, v in pred_dict.items()}
+    if gt_dict is not None:
+        for k, v in gt_dict.items():
+            merged.setdefault(k, []).append([True, v[0], v[1]])
+    return merged
+
+
+def build_video_visualizer(cfg):
+    common_classes = (
+        cfg.DEMO.COMMON_CLASS_NAMES if cfg.DEMO.LABEL_FILE_PATH else None
+    )
+    return VideoVisualizer(
+        num_classes=cfg.MODEL.NUM_CLASSES,
+        class_names_path=cfg.DEMO.LABEL_FILE_PATH,
+        top_k=cfg.TENSORBOARD.MODEL_VIS.TOPK_PREDS,
+        thres=cfg.DEMO.COMMON_CLASS_THRES,
+        lower_thres=cfg.DEMO.UNCOMMON_CLASS_THRES,
+        common_class_names=common_classes,
+        colormap=cfg.TENSORBOARD.MODEL_VIS.COLORMAP,
+        mode=cfg.DEMO.VIS_MODE,
+    )
+
+
 def ava_demo(cfg):
     """Render DEMO.INPUT_VIDEO with action predictions for the person boxes
-    listed in DEMO.PREDS_BOXES. Returns the output path."""
+    listed in DEMO.PREDS_BOXES (plus DEMO.GT_BOXES overlays when given).
+    Returns the output path."""
     pmv_logging.setup_logging(cfg.OUTPUT_DIR)
     assert cfg.DEMO.INPUT_VIDEO and cfg.DEMO.PREDS_BOXES
     from pmv_tpu.native import binding
@@ -46,24 +115,14 @@ def ava_demo(cfg):
     total = reader.num_frames
     video_name = os.path.splitext(os.path.basename(cfg.DEMO.INPUT_VIDEO))[0]
 
-    by_video = parse_bboxes_file(
-        cfg.DEMO.PREDS_BOXES, is_gt=False,
-        detect_thresh=cfg.AVA.DETECTION_SCORE_THRESH,
+    pred_boxes, gt_boxes = load_boxes_labels(
+        cfg, video_name, fps, reader.width, reader.height
     )
-    if video_name in by_video:
-        boxes_by_sec = by_video[video_name]
-    elif len(by_video) == 1:
-        boxes_by_sec = next(iter(by_video.values()))
-    else:
-        raise KeyError(
-            f"{video_name} not in {cfg.DEMO.PREDS_BOXES} "
-            f"(has {sorted(by_video)[:5]}...)"
-        )
 
     crop = cfg.DATA.TEST_CROP_SIZE
     t = cfg.DATA.NUM_FRAMES
     stride = cfg.DATA.SAMPLING_RATE
-    seq_half = t * stride // 2
+    seq_len = t * stride
 
     model = build_model(cfg)
     example = {
@@ -90,84 +149,103 @@ def ava_demo(cfg):
             variables, xs, train=False, boxes=boxes, box_mask=box_mask
         )
 
-    class_names = (
-        get_class_names(cfg.DEMO.LABEL_FILE_PATH)
-        if cfg.DEMO.LABEL_FILE_PATH
-        else []
-    )
-
-    def name_of(label_idx):
-        # csv labels are 1-based AVA ids; display names index from 0
-        # (reference shifts by -1, `ava_demo_precomputed_boxes.py:435`).
-        i = label_idx - 1
-        return class_names[i] if 0 <= i < len(class_names) else str(label_idx)
-
-    # Predict per keyframe.
-    per_keyframe = {}  # keyframe_idx -> (orig-pixel boxes, text lines/box)
-    for sec in sorted(boxes_by_sec):
-        box_list = list(boxes_by_sec[sec].values())
-        if not box_list:
-            continue
-        kf = int(round((sec - cfg.DEMO.STARTING_SECOND) * fps))
+    # --- predictions per keyframe (reference get_predictions):
+    # clip = short-side scale to TEST_CROP_SIZE, NO crop; boxes scaled by
+    # the same factor (`cv2_transform.scale` + `scale_boxes`). One jit
+    # compile per video geometry.
+    for kf in sorted(pred_boxes):
+        boxes_px, _ = pred_boxes[kf]
         if kf < 0 or kf >= total:
             continue
-        norm = np.array([b[0] for b in box_list], np.float32)[:MAX_BOXES, :4]
-        seq = get_sequence(kf, seq_half, stride, total)[:t]
+        n = min(len(boxes_px), MAX_BOXES)
+        if n == 0:
+            continue
+        seq = np.asarray(get_sequence(kf, seq_len // 2, stride, total)[:t])
         frames = reader.read_frames(seq).astype(np.float32)
         scaled = transform.short_side_scale(frames, crop)
-        h, w = scaled.shape[1:3]
-        y0 = max((h - crop) // 2, 0)
-        x0 = max((w - crop) // 2, 0)
-        clip = scaled[:, y0 : y0 + crop, x0 : x0 + crop]
-        px = norm * np.array([w, h, w, h], np.float32)
-        px -= np.array([x0, y0, x0, y0], np.float32)
-        px = np.clip(px, 0, crop - 1)
-
-        n = len(px)
+        factor = scaled.shape[1] / frames.shape[1]
         boxes_in = np.zeros((MAX_BOXES, 4), np.float32)
-        boxes_in[:n] = px
+        boxes_in[:n] = np.asarray(boxes_px[:n], np.float32) * factor
         mask = np.zeros((MAX_BOXES,), bool)
         mask[:n] = True
         scores = np.asarray(
             det_step(
                 state,
-                np.clip(clip, 0, 255).astype(np.uint8)[None],
+                np.clip(scaled, 0, 255).astype(np.uint8)[None],
                 boxes_in[None],
                 mask[None],
             )
         )[0].astype(np.float32)
+        pred_boxes[kf][0] = boxes_px[:n]
+        pred_boxes[kf][1] = scores[:n]
+        logger.info("keyframe %d: %d boxes predicted", kf, n)
 
-        orig_px = norm * np.array(
-            [reader.width, reader.height, reader.width, reader.height],
-            np.float32,
-        )
-        labels = []
-        for i in range(n):
-            top = np.argsort(scores[i])[::-1][: cfg.DEMO.NUM_VIS_INSTANCES]
-            labels.append(
-                [(int(j), name_of(j + 1), float(scores[i, j])) for j in top]
-            )
-        per_keyframe[kf] = (orig_px[:n], labels)
-        logger.info("keyframe sec %d: %d boxes", sec, n)
+    all_boxes = merge_pred_gt_boxes(pred_boxes, gt_boxes)
+    video_vis = build_video_visualizer(cfg)
 
-    # Render: every frame carries its nearest-preceding keyframe's boxes.
-    kf_sorted = sorted(per_keyframe)
+    # --- draw protocol (`ava_demo_precomputed_boxes.py:193-311`): clips
+    # around consecutive keyframes overlap; a carried buffer keeps the
+    # overlapping tail so fades compose; predictions repeat SLOWMO times
+    # inside draw_range.
+    no_repeat = max(int(cfg.DEMO.SLOWMO), 1)
+    draw_range = [seq_len // 2 - seq_len // 10, seq_len // 2 + seq_len // 10]
+    draw_range_repeat = [
+        draw_range[0],
+        (draw_range[1] - draw_range[0]) * no_repeat + draw_range[0],
+    ]
+
     out_frames = []
-    cur = -1
-    chunk = 256
-    for start in range(0, total, chunk):
-        idx = np.arange(start, min(start + chunk, total))
-        frames = reader.read_frames(idx)
-        for off, fidx in enumerate(idx):
-            while cur + 1 < len(kf_sorted) and kf_sorted[cur + 1] <= fidx:
-                cur += 1
-            f = frames[off]
-            if cur >= 0:
-                boxes, labels = per_keyframe[kf_sorted[cur]]
-                f = video_vis.draw_boxes(
-                    f, boxes, labels, num_classes=cfg.MODEL.NUM_CLASSES
-                )
-            out_frames.append(f)
+
+    def display(frames):
+        for f in frames:
+            out_frames.append(np.ascontiguousarray(f, np.uint8))
+
+    def frame_range(start, num):
+        if num <= 0 or start >= total:
+            return []
+        idx = np.arange(start, min(start + num, total))
+        return list(reader.read_frames(idx))
+
+    prev_buffer = []
+    prev_end_idx = 0
+    for kf in sorted(k for k in all_boxes if 0 <= k < total):
+        start_idx = max(0, kf - seq_len // 2)
+        dist = start_idx - prev_end_idx
+        if dist >= 0:
+            display(prev_buffer)
+            display(frame_range(prev_end_idx, dist))
+            prev_buffer = []
+            num_new = seq_len
+        else:
+            display(prev_buffer[:dist])
+            prev_buffer = prev_buffer[dist:]
+            num_new = seq_len + dist
+        new_frames = frame_range(max(start_idx, prev_end_idx), num_new)
+        clip = prev_buffer + new_frames
+        prev_end_idx = max(start_idx, prev_end_idx) + len(new_frames)
+        for is_gt, boxes, labels in all_boxes[kf]:
+            if not len(boxes):
+                continue
+            if is_gt:
+                repeat, rng = 1, draw_range_repeat
+                preds = labels
+            else:
+                repeat, rng = no_repeat, draw_range
+                preds = np.asarray(labels, np.float32)
+                if preds.ndim != 2 or not preds.shape[1]:
+                    continue  # keyframe never scored (off-video)
+            rng = [rng[0], min(rng[1], len(clip) - 1)]
+            clip = video_vis.draw_clip_range(
+                clip,
+                preds,
+                bboxes=np.asarray(boxes, np.float32),
+                ground_truth=is_gt,
+                draw_range=rng,
+                repeat_frame=repeat,
+            )
+        prev_buffer = clip
+    display(prev_buffer)
+    display(frame_range(prev_end_idx, total - prev_end_idx))
     reader.close()
 
     out_path = cfg.DEMO.OUTPUT_FILE or os.path.join(

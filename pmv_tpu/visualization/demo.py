@@ -4,17 +4,22 @@ Equivalent of the reference demo stack (`MViT/tools/demo_net.py`,
 `slowfast/visualization/{demo_loader,predictor,async_predictor,
 video_visualizer}.py`) on the TPU-native stack:
 
-- the native FFmpeg reader replaces the OpenCV `VideoManager`;
-- a jitted eval step replaces the cuda `Predictor`;
-- decode/predict/annotate overlap through a 3-stage thread pipeline (the
-  reference's `AsyncDemo` used mp.Queue processes — threads suffice here
-  because decode is native and inference is a non-blocking device dispatch);
-- PIL text overlay replaces the cv2 `VideoVisualizer`;
-- output is written with the native AVI writer;
-- webcam capture (`DEMO.WEBCAM >= 0`, reference `demo_loader.py`
-  VideoManager source switch) streams through cv2.VideoCapture: frames
-  accumulate into clip windows until the stream ends (a live camera runs
-  until interrupted — headless hosts have no display loop to quit from).
+- the native FFmpeg reader replaces the OpenCV `VideoManager`
+  (`demo_loader.py:21-130`); webcam capture (`DEMO.WEBCAM >= 0`) still
+  streams through cv2.VideoCapture;
+- a jitted eval step replaces the cuda `Predictor` — prediction is a
+  single non-blocking device dispatch, so the reference's per-GPU
+  `AsycnActionPredictor` process pool collapses into one thread;
+- drawing runs on the `AsyncVis` multiprocess pool
+  (`visualization/async_vis.py`, DEMO.NUM_VIS_INSTANCES workers) through
+  the reference-parity `VideoVisualizer` (top-k/thres modes, keyframe
+  fade, CLIP_VIS_SIZE draw range);
+- clip windows follow the reference protocol (`demo_loader.py:228-266`):
+  each task carries DATA.NUM_FRAMES x SAMPLING_RATE consecutive new
+  frames plus DEMO.BUFFER_SIZE carried-over frames, every
+  (NUM_CLIPS_SKIP+1)-th task is predicted and the rest pass through
+  unannotated, and every source frame is written exactly once;
+- output is written with the native AVI writer.
 """
 
 import os
@@ -29,41 +34,62 @@ from pmv_tpu.engine import steps
 from pmv_tpu.models import build_model
 from pmv_tpu.utils import checkpoint as cu
 from pmv_tpu.utils import logging as pmv_logging
-from pmv_tpu.visualization import video_vis
-from pmv_tpu.visualization.tensorboard_vis import get_class_names
+from pmv_tpu.visualization.async_vis import AsyncVis, TaskInfo
+from pmv_tpu.visualization.video_vis import VideoVisualizer
 
 logger = pmv_logging.get_logger(__name__)
 
 
-def _cv2_stream_windows(cap, t, clip_len):
-    """Yield (window_idx, [t frames RGB uint8]) from an opened
-    cv2.VideoCapture until the stream ends. Each window spans clip_len
-    consecutive captured frames, subsampled to t by linspace — the same
-    geometry the file path uses."""
+def _cv2_stream_windows(cap, seq_len):
+    """Yield consecutive ``seq_len``-frame windows (RGB uint8 [T, H, W, 3])
+    from an opened cv2.VideoCapture until the stream ends. A final partial
+    window is padded by repeating its last frame."""
     import cv2
 
-    idx = np.linspace(0, clip_len - 1, t).astype(np.int64)
-    keep = set(idx.tolist())
-    w = 0
     buf = []
-    pos = 0
     while True:
         ret, frame = cap.read()
         if not ret:
+            if buf:
+                while len(buf) < seq_len:
+                    buf.append(buf[-1])
+                yield np.stack(buf)
             return
-        if pos in keep:
-            buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-        pos += 1
-        if pos == clip_len:
-            yield w, np.stack(buf)
-            w += 1
+        buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        if len(buf) == seq_len:
+            yield np.stack(buf)
             buf = []
-            pos = 0
+
+
+def _file_windows(reader, seq_len):
+    """Yield consecutive ``seq_len``-frame windows from the native reader,
+    padding the final partial window with its last frame."""
+    total = reader.num_frames
+    for start in range(0, total, seq_len):
+        idx = np.minimum(np.arange(start, start + seq_len), total - 1)
+        yield reader.read_frames(idx.astype(np.int64))
+
+
+def build_video_visualizer(cfg):
+    """VideoVisualizer from the DEMO config surface (`demo_net.py:39-54`)."""
+    common_classes = (
+        cfg.DEMO.COMMON_CLASS_NAMES if cfg.DEMO.LABEL_FILE_PATH else None
+    )
+    return VideoVisualizer(
+        num_classes=cfg.MODEL.NUM_CLASSES,
+        class_names_path=cfg.DEMO.LABEL_FILE_PATH,
+        top_k=cfg.TENSORBOARD.MODEL_VIS.TOPK_PREDS,
+        thres=cfg.DEMO.COMMON_CLASS_THRES,
+        lower_thres=cfg.DEMO.UNCOMMON_CLASS_THRES,
+        common_class_names=common_classes,
+        colormap=cfg.TENSORBOARD.MODEL_VIS.COLORMAP,
+        mode=cfg.DEMO.VIS_MODE,
+    )
 
 
 def demo(cfg):
-    """Annotate DEMO.INPUT_VIDEO (or a DEMO.WEBCAM stream) with top-k
-    predictions per clip window."""
+    """Annotate DEMO.INPUT_VIDEO (or a DEMO.WEBCAM stream) with per-clip
+    predictions. Returns the output path."""
     pmv_logging.setup_logging(cfg.OUTPUT_DIR)
     use_webcam = cfg.DEMO.WEBCAM >= 0
     assert use_webcam or cfg.DEMO.INPUT_VIDEO, (
@@ -73,14 +99,16 @@ def demo(cfg):
 
     cfg = cfg.clone()
     cfg.TEST.PROCESS = True
+    t = cfg.DATA.NUM_FRAMES
+    seq_len = t * cfg.DATA.SAMPLING_RATE
+    assert cfg.DEMO.BUFFER_SIZE <= seq_len // 2, (
+        "Buffer size cannot be greater than half of sequence length."
+    )
+    size = cfg.DATA.TEST_CROP_SIZE
+    num_skip = cfg.DEMO.NUM_CLIPS_SKIP + 1
+
     model = build_model(cfg)
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
-
-    reader = None if use_webcam else binding.VideoReader(cfg.DEMO.INPUT_VIDEO)
-    size = cfg.DATA.TEST_CROP_SIZE
-    t = cfg.DATA.NUM_FRAMES
-    stride = cfg.DATA.SAMPLING_RATE
-
     example = {
         "frames": np.zeros((1, t, size, size, 3), np.uint8),
         "labels": np.zeros((1,), np.int64),
@@ -89,15 +117,9 @@ def demo(cfg):
     state = cu.load_test_checkpoint(cfg, state)
     eval_step = jax.jit(steps.make_eval_step(cfg, model))
 
-    class_names = (
-        get_class_names(cfg.DEMO.LABEL_FILE_PATH)
-        if cfg.DEMO.LABEL_FILE_PATH
-        else []
+    async_vis = AsyncVis(
+        build_video_visualizer(cfg), n_workers=cfg.DEMO.NUM_VIS_INSTANCES
     )
-
-    clip_len = t * stride
-    decode_q = queue.Queue(maxsize=2)
-    pred_q = queue.Queue(maxsize=2)
 
     if use_webcam:
         import cv2
@@ -109,49 +131,68 @@ def demo(cfg):
         if cfg.DEMO.DISPLAY_HEIGHT > 0:
             cap.set(cv2.CAP_PROP_FRAME_HEIGHT, cfg.DEMO.DISPLAY_HEIGHT)
         src_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        reader = None
+        windows = _cv2_stream_windows(cap, seq_len)
         logger.info("Demo: webcam %d (%.1f fps)", cfg.DEMO.WEBCAM, src_fps)
-
-        def decoder_stage():
-            for item in _cv2_stream_windows(cap, t, clip_len):
-                decode_q.put(item)
-            cap.release()
-            decode_q.put(None)
     else:
-        n_windows = max(reader.num_frames // clip_len, 1)
+        reader = binding.VideoReader(cfg.DEMO.INPUT_VIDEO)
         src_fps = reader.fps
+        windows = _file_windows(reader, seq_len)
         logger.info(
-            "Demo: %s (%d frames, %.1f fps) -> %d windows",
-            cfg.DEMO.INPUT_VIDEO, reader.num_frames, reader.fps, n_windows,
+            "Demo: %s (%d frames, %.1f fps)",
+            cfg.DEMO.INPUT_VIDEO, reader.num_frames, reader.fps,
         )
 
-        def decoder_stage():
-            for w in range(n_windows):
-                start = w * clip_len
-                idx = np.linspace(
-                    start, min(start + clip_len - 1, reader.num_frames - 1), t
-                ).astype(np.int64)
-                # Clip frames for the model at a short-side-scaled geometry.
-                frames = reader.read_frames(idx)
-                decode_q.put((w, frames))
-            decode_q.put(None)
+    decode_q = queue.Queue(maxsize=4)
+    err_q = queue.Queue()
+
+    def decoder_stage():
+        buffer = None
+        for i, frames in enumerate(windows):
+            task = TaskInfo(
+                num_buffer_frames=0 if buffer is None else len(buffer),
+                img_height=frames.shape[1],
+                img_width=frames.shape[2],
+                crop_size=size,
+                clip_vis_size=cfg.DEMO.CLIP_VIS_SIZE,
+            )
+            full = frames if buffer is None else np.concatenate(
+                [buffer, frames]
+            )
+            task.add_frames(i, full)
+            if cfg.DEMO.BUFFER_SIZE > 0:
+                buffer = frames[-cfg.DEMO.BUFFER_SIZE:]
+            decode_q.put(task)
+        if use_webcam:
+            cap.release()
+        decode_q.put(None)
+
+    n_tasks = [0]
+    predict_done = threading.Event()
 
     def predict_stage():
         while True:
-            item = decode_q.get()
-            if item is None:
-                pred_q.put(None)
+            task = decode_q.get()
+            if task is None:
+                predict_done.set()
                 return
-            w, frames = item
-            net_in = transform.short_side_scale(
-                frames.astype(np.float32), size
-            )
-            net_in = transform.uniform_crop(net_in, size, 1)
-            preds = eval_step(
-                state, np.clip(net_in, 0, 255).astype(np.uint8)[None]
-            )
-            pred_q.put(
-                (w, frames, np.asarray(preds)[0].astype(np.float32))
-            )
+            if task.id % num_skip == 0:
+                # linspace subsample over the whole window, reference
+                # `visualization/utils.py:318` process_cv2_inputs.
+                idx = np.linspace(
+                    0, len(task.frames) - 1, t
+                ).astype(np.int64)
+                net_in = transform.short_side_scale(
+                    task.frames[idx].astype(np.float32), size
+                )
+                net_in = transform.uniform_crop(net_in, size, 1)
+                preds = eval_step(
+                    state, np.clip(net_in, 0, 255).astype(np.uint8)[None]
+                )
+                task.action_preds = np.asarray(preds)[0].astype(np.float32)
+            async_vis.get_indices_ls.append(task.id)
+            async_vis.put(task)
+            n_tasks[0] += 1
 
     def run_stage(fn):
         # Stage failures must surface in the main thread, not leave the
@@ -160,7 +201,8 @@ def demo(cfg):
             try:
                 fn()
             except BaseException as e:  # noqa: BLE001
-                pred_q.put(e)
+                err_q.put(e)
+                predict_done.set()
 
         threading.Thread(target=wrapped, daemon=True).start()
 
@@ -168,23 +210,23 @@ def demo(cfg):
     run_stage(predict_stage)
 
     out_frames = []
+    received = 0
     while True:
-        item = pred_q.get()
-        if item is None:
+        if not err_q.empty():
+            raise err_q.get()
+        if predict_done.is_set() and received == n_tasks[0]:
             break
-        if isinstance(item, BaseException):
-            raise item
-        w, frames, preds = item
-        for f in frames:
-            out_frames.append(
-                video_vis.draw_predictions(
-                    f, preds, class_names,
-                    top_k=max(cfg.DEMO.CLIP_VIS_SIZE, 1),
-                    thres=cfg.DEMO.COMMON_CLASS_THRES
-                    if cfg.DEMO.COMMON_CLASS_NAMES else 0.0,
-                    num_classes=cfg.MODEL.NUM_CLASSES,
-                )
-            )
+        try:
+            task = async_vis.get()
+        except (queue.Empty, IndexError):
+            import time
+
+            time.sleep(0.01)
+            continue
+        received += 1
+        for f in np.asarray(task.frames)[task.num_buffer_frames:]:
+            out_frames.append(np.ascontiguousarray(f, np.uint8))
+    async_vis.shutdown()
     if reader is not None:
         reader.close()
 

@@ -100,11 +100,17 @@ def test_demo_end_to_end(tmp_path):
     cfg.DEMO.INPUT_VIDEO = str(vid)
     cfg.DEMO.OUTPUT_FILE = str(tmp_path / "out.avi")
     cfg.DATA.SAMPLING_RATE = 2
+    # Exercise the full task protocol: carried buffer frames, clip
+    # skipping, and the thres vis mode (reference demo defaults).
+    cfg.DEMO.BUFFER_SIZE = 1
+    cfg.DEMO.NUM_CLIPS_SKIP = 1
+    cfg.DEMO.NUM_VIS_INSTANCES = 2
     cfg.OUTPUT_DIR = str(tmp_path)
     out = demo(cfg)
     assert os.path.exists(out)
     with binding.VideoReader(out) as vr:
-        assert vr.num_frames > 0
+        # Every source frame is written exactly once (24 in -> 24 out).
+        assert vr.num_frames == 24
 
 
 def test_cv2_stream_windows(tmp_path):
@@ -120,13 +126,15 @@ def test_cv2_stream_windows(tmp_path):
     )
     cap = cv2.VideoCapture(str(vid))
     assert cap.isOpened()
-    windows = list(_cv2_stream_windows(cap, t=4, clip_len=8))
+    windows = list(_cv2_stream_windows(cap, seq_len=8))
     cap.release()
-    # 25 frames -> 3 full 8-frame windows, each subsampled to 4 frames.
-    assert [w for w, _ in windows] == [0, 1, 2]
-    for _, frames in windows:
-        assert frames.shape == (4, 32, 24, 3)  # (T, H, W, C) from the file
+    # 25 frames -> 3 full 8-frame windows + a last-frame-padded tail.
+    assert len(windows) == 4
+    for frames in windows:
+        assert frames.shape == (8, 32, 24, 3)  # (T, H, W, C) from the file
         assert frames.dtype == np.uint8
+    # Tail window: frame 24 repeated into the pad.
+    assert (windows[-1][1] == windows[-1][-1]).all()
 
 
 def test_visualize_tool_model_vis(tmp_path):
@@ -208,6 +216,55 @@ def test_ava_demo_precomputed_boxes(tmp_path):
     assert os.path.exists(out)
     with binding.VideoReader(out) as vr:
         assert vr.num_frames == 40
+
+
+def test_ava_demo_gt_boxes_slowmo(tmp_path):
+    """GT-box overlay + SLOWMO legs of the AVA draw protocol
+    (`ava_demo_precomputed_boxes.py:270-296`): predictions repeat
+    DEMO.SLOWMO times inside the draw range, so the output is strictly
+    longer than the source; GT keyframes merge into the same clips."""
+    from pmv_tpu.native import binding
+    from pmv_tpu.visualization.ava_demo import ava_demo
+
+    rng = np.random.default_rng(1)
+    vid = tmp_path / "kf_video.avi"
+    binding.write_test_video(
+        vid, rng.integers(0, 255, (40, 32, 48, 3), dtype=np.uint8), fps=10
+    )
+    boxes_csv = tmp_path / "preds.csv"
+    boxes_csv.write_text("kf_video,901,0.1,0.1,0.6,0.8,1,0.99\n")
+    gt_csv = tmp_path / "gt.csv"
+    gt_csv.write_text(
+        "kf_video,901,0.15,0.1,0.65,0.8,2\n"
+        "kf_video,902,0.2,0.2,0.8,0.8,3\n"
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "ResNet"
+    cfg.MODEL.ARCH = "slow"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.MODEL.HEAD_ACT = "sigmoid"
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.DETECTION.ENABLE = True
+    cfg.DETECTION.SPATIAL_SCALE_FACTOR = 16
+    cfg.DETECTION.ROI_XFORM_RESOLUTION = 4
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.INPUT_VIDEO = str(vid)
+    cfg.DEMO.PREDS_BOXES = str(boxes_csv)
+    cfg.DEMO.GT_BOXES = str(gt_csv)
+    cfg.DEMO.SLOWMO = 3
+    cfg.DEMO.STARTING_SECOND = 900
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "ava_out.avi")
+    cfg.OUTPUT_DIR = str(tmp_path)
+    out = ava_demo(cfg)
+    with binding.VideoReader(out) as vr:
+        # SLOWMO=3 repeats the pred draw range; every source frame still
+        # appears, so the output is strictly longer than the input.
+        assert vr.num_frames > 40
 
 
 def test_visualize_predictions_path_offline(tmp_path):

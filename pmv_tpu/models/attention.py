@@ -62,6 +62,7 @@ class FusedQKVSplitDots(nn.Module):
     num_heads: int
     use_bias: bool = False
     kernel_init: Any = None  # default trunc_normal_init(0.02)
+    int8: bool = False  # int8 forward dots (TPU.INT8_DENSE)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,7 +92,12 @@ class FusedQKVSplitDots(nn.Module):
             w = jax.lax.slice_in_dim(
                 kernel, i * self.dim_out, (i + 1) * self.dim_out, axis=1
             )
-            y = jnp.dot(src, w)
+            if self.int8:
+                from pmv_tpu.ops.quant import int8_dot
+
+                y = int8_dot(src, w)
+            else:
+                y = jnp.dot(src, w)
             b_i = None
             if bias is not None:
                 b_i = jax.lax.slice_in_dim(
@@ -726,6 +732,7 @@ class MultiScaleAttention(nn.Module):
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     attn_q_chunk: int = 0  # q-tiled attention chunk rows (0 = off)
     attn_chunk_remat: bool = True  # recompute chunk probs in backward
+    int8_dense: bool = False  # int8 forward qkv/proj dots (TPU.INT8_DENSE)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -734,9 +741,15 @@ class MultiScaleAttention(nn.Module):
         head_dim = self.dim_out // self.num_heads
         scale = head_dim ** -0.5
 
-        def dense(feats, name):
-            return nn.Dense(
-                feats, use_bias=self.qkv_bias, dtype=self.dtype,
+        def dense(feats, name, use_bias=None):
+            if self.int8_dense:
+                from pmv_tpu.ops.quant import QuantDense as _Dense
+            else:
+                _Dense = nn.Dense
+            return _Dense(
+                feats,
+                use_bias=self.qkv_bias if use_bias is None else use_bias,
+                dtype=self.dtype,
                 kernel_init=trunc_normal_init(0.02), name=name,
             )
 
@@ -815,12 +828,14 @@ class MultiScaleAttention(nn.Module):
                 kv_tokens = jnp.concatenate([x[:, :1], kv_tokens], axis=1)
             q, k, v, (bias_k, bias_v) = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
-                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
+                use_bias=self.qkv_bias, int8=self.int8_dense,
+                dtype=self.dtype, name="qkv",
             )(x, kv=kv_tokens, flat=use_flat)
         else:
             q, k, v = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
-                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
+                use_bias=self.qkv_bias, int8=self.int8_dense,
+                dtype=self.dtype, name="qkv",
             )(x, flat=use_flat)
 
         # Lane padding is exact but only gradient-safe in eval graphs.
@@ -1012,10 +1027,7 @@ class MultiScaleAttention(nn.Module):
                 x = x + q
 
         x = x.reshape(B, -1, self.dim_out)
-        x = nn.Dense(
-            self.dim_out, dtype=self.dtype,
-            kernel_init=trunc_normal_init(0.02), name="proj",
-        )(x)
+        x = dense(self.dim_out, "proj", use_bias=True)(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x, q_shape
@@ -1056,6 +1068,7 @@ class MultiScaleBlock(nn.Module):
     attn_impl: str = "batched"
     attn_q_chunk: int = 0
     attn_chunk_remat: bool = True
+    int8_dense: bool = False  # int8 forward dense dots (TPU.INT8_DENSE)
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -1107,6 +1120,7 @@ class MultiScaleBlock(nn.Module):
             attn_impl=self.attn_impl,
             attn_q_chunk=self.attn_q_chunk,
             attn_chunk_remat=self.attn_chunk_remat,
+            int8_dense=self.int8_dense,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)
@@ -1163,6 +1177,7 @@ class MultiScaleBlock(nn.Module):
             hidden_features=mlp_hidden,
             out_features=self.dim_out,
             drop_rate=self.drop_rate,
+            int8=self.int8_dense,
             dtype=self.dtype,
             name="mlp",
         )(x_norm, deterministic=deterministic)

@@ -58,6 +58,37 @@ def _color_augmentation(frames, cfg, rng):
     return f + rgb * 255.0
 
 
+def _scale_box_ratio(height, width, size):
+    """The single scalar the reference multiplies boxes by for a short-side
+    resize to ``size`` (`cv2_transform.py:106-131` scale_boxes /
+    `:29-74` random_short_side_scale_jitter_list): the *long*-side ratio
+    ``floor(long/short*size)/long``, which differs sub-pixel from
+    ``size/short`` because of the floor. Returns 1.0 when no resize runs."""
+    if (width <= height and width == size) or (
+        height <= width and height == size
+    ):
+        return 1.0
+    if width < height:
+        return float(int(np.floor(float(height) / width * size))) / height
+    return float(int(np.floor(float(width) / height * size))) / width
+
+
+def _clip_boxes(boxes, height, width):
+    """`cv2_transform.py:9-26` clip_boxes_to_image: clamp to [0, dim-1]."""
+    boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]], 0.0, width - 1.0)
+    boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]], 0.0, height - 1.0)
+    return boxes
+
+
+def _flip_boxes(boxes, im_width):
+    """`cv2_transform.py:365-378` flip_boxes: x -> w - x - 1 with the
+    x1/x2 swap."""
+    flipped = boxes.copy()
+    flipped[:, 0] = im_width - boxes[:, 2] - 1
+    flipped[:, 2] = im_width - boxes[:, 0] - 1
+    return flipped
+
+
 def get_sequence(center_idx, half_len, sample_rate, num_frames):
     """Clip frame indices around a keyframe (`datasets/utils.py` get_sequence)."""
     seq = list(
@@ -199,40 +230,47 @@ class Ava:
         boxes = np.array([b[0] for b in box_list], np.float32)[:, :4]
         labels = [b[1] for b in box_list]
 
+        # Reference cv2-backend preprocessing, exact box math
+        # (`ava_dataset.py:113-243` _images_and_boxes_preprocessing_cv2):
+        # boxes to pixel coords of the decoded frame, clipped to the image,
+        # then carried through every geometry op in pixel space.
         crop = cfg.DATA.TRAIN_CROP_SIZE if self.mode == "train" else cfg.DATA.TEST_CROP_SIZE
+        h0, w0 = frames.shape[1:3]
+        px = boxes * np.array([w0, h0, w0, h0], np.float32)
+        px = _clip_boxes(px, h0, w0)
         if self.mode == "train":
-            scale = int(
-                rng.uniform(
-                    cfg.DATA.TRAIN_JITTER_SCALES[0],
-                    cfg.DATA.TRAIN_JITTER_SCALES[1],
-                )
-            )
+            # Inverse-uniform short-side size (`cv2_transform.py:46`) —
+            # NOT uniform in [min, max].
+            lo, hi = cfg.DATA.TRAIN_JITTER_SCALES
+            scale = int(round(1.0 / rng.uniform(1.0 / hi, 1.0 / lo)))
+            px *= _scale_box_ratio(h0, w0, scale)
             frames = transform.short_side_scale(frames, scale)
             h, w = frames.shape[1:3]
-            y0 = int(rng.integers(0, max(h - crop, 0) + 1))
-            x0 = int(rng.integers(0, max(w - crop, 0) + 1))
+            # randint's exclusive upper bound (`cv2_transform.py:424-428`):
+            # the offset h-crop itself is never drawn.
+            y0 = int(rng.integers(0, h - crop)) if h > crop else 0
+            x0 = int(rng.integers(0, w - crop)) if w > crop else 0
             frames = frames[:, y0 : y0 + crop, x0 : x0 + crop]
-            # boxes are normalized: to pixel coords of the crop.
-            px = boxes * np.array([w, h, w, h], np.float32)
             px -= np.array([x0, y0, x0, y0], np.float32)
             if rng.uniform() < 0.5:
                 frames = frames[:, :, ::-1]
-                px[:, [0, 2]] = crop - px[:, [2, 0]]
+                px = _flip_boxes(px, crop)
             if cfg.AVA.TRAIN_USE_COLOR_AUGMENTATION:
                 frames = _color_augmentation(frames, cfg, rng)
         else:
+            px *= _scale_box_ratio(h0, w0, crop)
             frames = transform.short_side_scale(frames, crop)
             h, w = frames.shape[1:3]
-            y0 = max((h - crop) // 2, 0)
-            x0 = max((w - crop) // 2, 0)
+            # Center crop with ceil offsets (`cv2_transform.py:188-189`).
+            y0 = max(int(np.ceil((h - crop) / 2)), 0)
+            x0 = max(int(np.ceil((w - crop) / 2)), 0)
             frames = frames[:, y0 : y0 + crop, x0 : x0 + crop]
-            px = boxes * np.array([w, h, w, h], np.float32)
             px -= np.array([x0, y0, x0, y0], np.float32)
             if cfg.AVA.TEST_FORCE_FLIP:
                 # `ava_dataset.py` _test_force_flip (val/test, p=1).
                 frames = frames[:, :, ::-1]
-                px[:, [0, 2]] = crop - px[:, [2, 0]]
-        px = np.clip(px, 0, crop - 1)
+                px = _flip_boxes(px, crop)
+        px = _clip_boxes(px, crop, crop)
 
         # Pad boxes / labels to MAX_BOXES (static shapes for jit).
         n = min(len(px), MAX_BOXES)

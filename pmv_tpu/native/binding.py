@@ -110,8 +110,37 @@ def get_lib():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.pmv_resize_bilinear.restype = None
+        lib.pmv_resize_bilinear.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
+
+
+def resize_bilinear(frame, dh, dw):
+    """Exact torch-protocol bilinear resize of one [H, W, 3] uint8 frame via
+    the native kernel (resize_bilinear_exact_u8; AVX2 horizontal pass)."""
+    import numpy as np
+
+    lib = get_lib()
+    frame = np.ascontiguousarray(frame, dtype=np.uint8)
+    sh, sw = frame.shape[:2]
+    out = np.empty((dh, dw, 3), np.uint8)
+    lib.pmv_resize_bilinear(
+        frame.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        sw,
+        sh,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        dw,
+        dh,
+    )
+    return out
 
 
 class VideoReader:

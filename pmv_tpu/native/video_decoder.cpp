@@ -22,9 +22,14 @@ extern "C" {
 
 #include <algorithm>
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -60,6 +65,75 @@ double index_fps(AVStream* st) {
   return av_q2d(r);
 }
 
+// Horizontal lerp of one row as a FLAT gather loop: element j of the
+// output row reads trow[off0[j]]/trow[off1[j]] with weight wx[j]
+// (j = x*3 + ch, offsets precomputed once per image). Scalar reference;
+// op order is a + (b-a)*f with one round-to-nearest-even at the end.
+void hrow_scalar(const float* trow, uint8_t* drow, const int32_t* off0,
+                 const int32_t* off1, const float* wx, int n) {
+  for (int j = 0; j < n; ++j) {
+    const float a = trow[off0[j]];
+    const float b = trow[off1[j]];
+    float v = a + (b - a) * wx[j];
+    v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+    drow[j] = static_cast<uint8_t>(std::lrintf(v));
+  }
+}
+
+// Vertical lerp of one output row: trow[k] = r0[k] + (r1[k] - r0[k]) * f
+// over the full sw*3 span (contiguous, u8 in / f32 out).
+void vrow_scalar(const uint8_t* r0, const uint8_t* r1, float* trow, float f,
+                 int n) {
+  for (int k = 0; k < n; ++k)
+    trow[k] = r0[k] + (r1[k] - r0[k]) * f;
+}
+
+#if defined(__x86_64__) || defined(__i386__)
+// AVX2 vertical row: 8 u8 -> f32 widens + the same mul/add order as the
+// scalar loop (bit-identical f32 results).
+__attribute__((target("avx2")))
+void vrow_avx2(const uint8_t* r0, const uint8_t* r1, float* trow, float f,
+               int n) {
+  const __m256 vf = _mm256_set1_ps(f);
+  int k = 0;
+  for (; k + 8 <= n; k += 8) {
+    __m256 a = _mm256_cvtepi32_ps(_mm256_cvtepu8_epi32(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(r0 + k))));
+    __m256 b = _mm256_cvtepi32_ps(_mm256_cvtepu8_epi32(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(r1 + k))));
+    _mm256_storeu_ps(
+        trow + k, _mm256_add_ps(a, _mm256_mul_ps(_mm256_sub_ps(b, a), vf)));
+  }
+  if (k < n) vrow_scalar(r0 + k, r1 + k, trow + k, f, n - k);
+}
+
+// AVX2 horizontal row: 8-wide f32 gathers + the same a + (b-a)*f order
+// (mul then add, NO fma) and cvtps' round-to-nearest-even, so the output
+// is bit-identical to hrow_scalar. Contiguous 8-byte stores.
+__attribute__((target("avx2")))
+void hrow_avx2(const float* trow, uint8_t* drow, const int32_t* off0,
+               const int32_t* off1, const float* wx, int n) {
+  const __m256 zero = _mm256_setzero_ps();
+  const __m256 v255 = _mm256_set1_ps(255.0f);
+  int j = 0;
+  for (; j + 8 <= n; j += 8) {
+    __m256i i0 = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(off0 + j));
+    __m256i i1 = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(off1 + j));
+    __m256 a = _mm256_i32gather_ps(trow, i0, 4);
+    __m256 b = _mm256_i32gather_ps(trow, i1, 4);
+    __m256 f = _mm256_loadu_ps(wx + j);
+    __m256 v = _mm256_add_ps(a, _mm256_mul_ps(_mm256_sub_ps(b, a), f));
+    v = _mm256_min_ps(_mm256_max_ps(v, zero), v255);
+    __m256i p32 = _mm256_cvtps_epi32(v);
+    __m128i p16 = _mm_packs_epi32(_mm256_castsi256_si128(p32),
+                                  _mm256_extracti128_si256(p32, 1));
+    __m128i p8 = _mm_packus_epi16(p16, p16);
+    _mm_storel_epi64(reinterpret_cast<__m128i*>(drow + j), p8);
+  }
+  if (j < n) hrow_scalar(trow, drow + j, off0 + j, off1 + j, wx + j, n - j);
+}
+#endif
+
 // Exact torch-bilinear resize (align_corners=False, NO antialias): 2-tap
 // half-pixel sampling on both axes, float accumulation, one rint at the
 // end. swscale's SWS_BILINEAR widens the filter on downscale (correct
@@ -73,15 +147,20 @@ void resize_bilinear_exact_u8(const uint8_t* src, int sw, int sh,
     std::memcpy(dst, src, static_cast<size_t>(sw) * sh * 3);
     return;
   }
-  std::vector<int> x0(dw), x1(dw);
-  std::vector<float> fx(dw);
+  // Per-output-element (x, ch) flat taps for the horizontal pass.
+  std::vector<int32_t> off0(static_cast<size_t>(dw) * 3);
+  std::vector<int32_t> off1(static_cast<size_t>(dw) * 3);
+  std::vector<float> wx(static_cast<size_t>(dw) * 3);
   for (int x = 0; x < dw; ++x) {
     double s = (x + 0.5) * static_cast<double>(sw) / dw - 0.5;
     s = std::min(std::max(s, 0.0), static_cast<double>(sw - 1));
     int i0 = static_cast<int>(s);
-    x0[x] = i0;
-    x1[x] = std::min(i0 + 1, sw - 1);
-    fx[x] = static_cast<float>(s - i0);
+    int i1 = std::min(i0 + 1, sw - 1);
+    for (int ch = 0; ch < 3; ++ch) {
+      off0[x * 3 + ch] = i0 * 3 + ch;
+      off1[x * 3 + ch] = i1 * 3 + ch;
+      wx[x * 3 + ch] = static_cast<float>(s - i0);
+    }
   }
   std::vector<int> y0(dh), y1(dh);
   std::vector<float> fy(dh);
@@ -93,32 +172,30 @@ void resize_bilinear_exact_u8(const uint8_t* src, int sw, int sh,
     y1[y] = std::min(i0 + 1, sh - 1);
     fy[y] = static_cast<float>(s - i0);
   }
+#if defined(__x86_64__) || defined(__i386__)
+  // PMV_NO_AVX2=1 forces the scalar row kernel (exactness A/B in tests).
+  static const bool kAvx2 = __builtin_cpu_supports("avx2") &&
+                            (std::getenv("PMV_NO_AVX2") == nullptr);
+  auto* hrow = kAvx2 ? hrow_avx2 : hrow_scalar;
+  auto* vrow = kAvx2 ? vrow_avx2 : vrow_scalar;
+#else
+  auto* hrow = hrow_scalar;
+  auto* vrow = vrow_scalar;
+#endif
   // Vertical pass FIRST (contiguous row lerps, auto-vectorizes) so the
   // gather-bound horizontal pass touches dh rows instead of sh — this is
   // over half the whole decode cost on downscales (decode-throughput
   // microbench). Same separable math; f32 accumulation, one rint.
   std::vector<float> tmp(static_cast<size_t>(dh) * sw * 3);
   for (int y = 0; y < dh; ++y) {
-    const uint8_t* r0 = src + static_cast<size_t>(y0[y]) * sw * 3;
-    const uint8_t* r1 = src + static_cast<size_t>(y1[y]) * sw * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * sw * 3;
-    const float f = fy[y];
-    for (int k = 0; k < sw * 3; ++k)
-      trow[k] = r0[k] + (r1[k] - r0[k]) * f;
+    vrow(src + static_cast<size_t>(y0[y]) * sw * 3,
+         src + static_cast<size_t>(y1[y]) * sw * 3,
+         tmp.data() + static_cast<size_t>(y) * sw * 3, fy[y], sw * 3);
   }
   for (int y = 0; y < dh; ++y) {
-    const float* trow = tmp.data() + static_cast<size_t>(y) * sw * 3;
-    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
-    for (int x = 0; x < dw; ++x) {
-      const float* a = trow + x0[x] * 3;
-      const float* b = trow + x1[x] * 3;
-      const float f = fx[x];
-      for (int ch = 0; ch < 3; ++ch) {
-        float v = a[ch] + (b[ch] - a[ch]) * f;
-        v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
-        drow[x * 3 + ch] = static_cast<uint8_t>(std::lrintf(v));
-      }
-    }
+    hrow(tmp.data() + static_cast<size_t>(y) * sw * 3,
+         dst + static_cast<size_t>(y) * dw * 3, off0.data(), off1.data(),
+         wx.data(), dw * 3);
   }
 }
 
@@ -422,6 +499,13 @@ long long pmv_decode_audio(void* handle, double start_sec, double dur_sec,
   swr_free(&swr);
   avcodec_free_context(&actx);
   return written;
+}
+
+// Direct entry to the exact-protocol resize (RGB24), for tests and the
+// loader-side resample microbench.
+void pmv_resize_bilinear(const unsigned char* src, int sw, int sh,
+                         unsigned char* dst, int dw, int dh) {
+  resize_bilinear_exact_u8(src, sw, sh, dst, dw, dh);
 }
 
 void pmv_close(void* handle) {

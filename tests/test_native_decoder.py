@@ -128,3 +128,32 @@ def test_h264_no_overflow_on_odd_resize(h264_video):
             )
             assert got == 1
             assert (buf[fb:] == 0xAB).all(), (ow, oh)
+
+
+def test_resize_bilinear_torch_parity():
+    """The native exact-protocol resize (AVX2 rows when available) matches
+    torch F.interpolate(bilinear, align_corners=False) within uint8
+    rounding on every shape class (up/down/mixed/identity).
+
+    The AVX2 row kernels are written to be bit-identical to the scalar
+    reference (same a+(b-a)*f order, no FMA, round-to-nearest-even);
+    PMV_NO_AVX2=1 forces the scalar path for A/B debugging."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    for sh, sw, dh, dw in [
+        (640, 360, 320, 182),   # portrait downscale (PMV protocol)
+        (360, 640, 182, 320),   # landscape downscale
+        (100, 77, 300, 200),    # upscale
+        (719, 1283, 182, 320),  # odd dims, heavy downscale
+        (33, 47, 33, 47),       # identity
+    ]:
+        img = rng.integers(0, 256, (sh, sw, 3), np.uint8)
+        out = binding.resize_bilinear(img, dh, dw)
+        t = torch.from_numpy(img).permute(2, 0, 1)[None].float()
+        ref = F.interpolate(t, size=(dh, dw), mode="bilinear",
+                            align_corners=False)
+        ref = ref.clamp(0, 255).round().byte()[0].permute(1, 2, 0).numpy()
+        diff = np.abs(out.astype(int) - ref.astype(int)).max()
+        assert diff <= 1, (sh, sw, dh, dw, diff)

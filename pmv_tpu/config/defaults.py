@@ -634,13 +634,6 @@ _C.TPU.ATTN_CHUNK_REMAT = True
 # (88.33 -> 87.60 ms/step at bs8, tools/ablate.py flat_ln_vjp, round 4) —
 # default on. Only active when MVIT.FLAT_POOLS selects FlatGroupLN.
 _C.TPU.FLAT_LN_VJP = True
-# Int8 forward activations for the transformer dense matmuls (qkv/proj/
-# mlp): W8A8 symmetric absmax quantization (per-token activation scales,
-# per-output-channel weight scales) with exact full-precision straight-
-# through gradients (ops/quant.py). v5e runs int8 MXU at 2x bf16 peak and
-# the int8 operands halve the dot reads. Research knob (training-quality
-# impact must be validated against the 0.3%-top-1 budget); default off.
-_C.TPU.INT8_DENSE = False
 # Dtype for the fused on-device augmentation chain (RandAugment, erasing,
 # color jitter, normalize). The model casts to COMPUTE_DTYPE right after
 # preprocessing anyway, so "bfloat16" here only adds sub-quantization noise

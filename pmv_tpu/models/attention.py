@@ -62,7 +62,6 @@ class FusedQKVSplitDots(nn.Module):
     num_heads: int
     use_bias: bool = False
     kernel_init: Any = None  # default trunc_normal_init(0.02)
-    int8: bool = False  # int8 forward dots (TPU.INT8_DENSE)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,12 +91,7 @@ class FusedQKVSplitDots(nn.Module):
             w = jax.lax.slice_in_dim(
                 kernel, i * self.dim_out, (i + 1) * self.dim_out, axis=1
             )
-            if self.int8:
-                from pmv_tpu.ops.quant import int8_dot
-
-                y = int8_dot(src, w)
-            else:
-                y = jnp.dot(src, w)
+            y = jnp.dot(src, w)
             b_i = None
             if bias is not None:
                 b_i = jax.lax.slice_in_dim(
@@ -732,7 +726,6 @@ class MultiScaleAttention(nn.Module):
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     attn_q_chunk: int = 0  # q-tiled attention chunk rows (0 = off)
     attn_chunk_remat: bool = True  # recompute chunk probs in backward
-    int8_dense: bool = False  # int8 forward qkv/proj dots (TPU.INT8_DENSE)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -742,11 +735,7 @@ class MultiScaleAttention(nn.Module):
         scale = head_dim ** -0.5
 
         def dense(feats, name, use_bias=None):
-            if self.int8_dense:
-                from pmv_tpu.ops.quant import QuantDense as _Dense
-            else:
-                _Dense = nn.Dense
-            return _Dense(
+            return nn.Dense(
                 feats,
                 use_bias=self.qkv_bias if use_bias is None else use_bias,
                 dtype=self.dtype,
@@ -828,13 +817,13 @@ class MultiScaleAttention(nn.Module):
                 kv_tokens = jnp.concatenate([x[:, :1], kv_tokens], axis=1)
             q, k, v, (bias_k, bias_v) = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
-                use_bias=self.qkv_bias, int8=self.int8_dense,
+                use_bias=self.qkv_bias,
                 dtype=self.dtype, name="qkv",
             )(x, kv=kv_tokens, flat=use_flat)
         else:
             q, k, v = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
-                use_bias=self.qkv_bias, int8=self.int8_dense,
+                use_bias=self.qkv_bias,
                 dtype=self.dtype, name="qkv",
             )(x, flat=use_flat)
 
@@ -1068,7 +1057,6 @@ class MultiScaleBlock(nn.Module):
     attn_impl: str = "batched"
     attn_q_chunk: int = 0
     attn_chunk_remat: bool = True
-    int8_dense: bool = False  # int8 forward dense dots (TPU.INT8_DENSE)
     norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
@@ -1120,7 +1108,6 @@ class MultiScaleBlock(nn.Module):
             attn_impl=self.attn_impl,
             attn_q_chunk=self.attn_q_chunk,
             attn_chunk_remat=self.attn_chunk_remat,
-            int8_dense=self.int8_dense,
             dtype=self.dtype,
             name="attn",
         )(x_norm, thw_shape, deterministic=deterministic)
@@ -1177,7 +1164,6 @@ class MultiScaleBlock(nn.Module):
             hidden_features=mlp_hidden,
             out_features=self.dim_out,
             drop_rate=self.drop_rate,
-            int8=self.int8_dense,
             dtype=self.dtype,
             name="mlp",
         )(x_norm, deterministic=deterministic)

@@ -34,16 +34,11 @@ class Mlp(nn.Module):
     out_features: int
     act_layer: Callable = nn.gelu
     drop_rate: float = 0.0
-    int8: bool = False  # int8 forward dots (TPU.INT8_DENSE)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        if self.int8:
-            from pmv_tpu.ops.quant import QuantDense as _Dense
-        else:
-            _Dense = nn.Dense
-        x = _Dense(
+        x = nn.Dense(
             self.hidden_features,
             dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02),
@@ -52,7 +47,7 @@ class Mlp(nn.Module):
         x = self.act_layer(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-        x = _Dense(
+        x = nn.Dense(
             self.out_features,
             dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02),

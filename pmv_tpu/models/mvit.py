@@ -320,7 +320,6 @@ class MViT(nn.Module):
                 attn_impl=cfg.MVIT.ATTN_IMPL,
                 attn_q_chunk=cfg.TPU.ATTN_Q_CHUNK,
                 attn_chunk_remat=cfg.TPU.ATTN_CHUNK_REMAT,
-                int8_dense=cfg.TPU.INT8_DENSE,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )

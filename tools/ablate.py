@@ -165,11 +165,6 @@ VARIANTS = {
     "eval_chunk2k": lambda c: _set(c, [("TPU.ATTN_Q_CHUNK", 2048)]),
     "pallas_pools": lambda c: _set(c, [("MVIT.USE_PALLAS_POOLS", True)]),
     "auto_pools": lambda c: _set(c, [("MVIT.POOL_CONV_IMPL", "auto")]),
-    # Int8 forward activations for qkv/proj/mlp dots (round 4, the
-    # "plan to 400" byte-halving route; ops/quant.py).
-    "int8": lambda c: _set(c, [("TPU.INT8_DENSE", True)]),
-    "eval_int8": lambda c: _set(c, [("TPU.INT8_DENSE", True)]),
-    "int8_bs32": lambda c: _set(c, [("TPU.INT8_DENSE", True)]),
 }
 
 
@@ -223,7 +218,7 @@ def time_variant(name):
         "flat_bs32": 32, "flat_bs32_d4": 32, "flat_bs32_d2": 32,
         "flat_bs32_d1": 32, "flat_bs32_norel": 32, "flat_bs32_nochunk": 32,
         "flat_bs32_noaug": 32, "flat_bs32_nosparse": 32,
-        "flat_bs32_novjp": 32, "int8_bs32": 32,
+        "flat_bs32_novjp": 32,
     }.get(name, BATCH)
     model = build_model(cfg)
     from pmv_tpu.utils import misc

@@ -26,31 +26,17 @@ A100_BASELINE_CLIPS_PER_SEC = 645.0
 
 
 def main():
-    from __graft_entry__ import _mvitv2_s_cfg
+    from __graft_entry__ import _mvitv2_s_cfg, apply_bench_recipe
     from pmv_tpu.engine import steps
     from pmv_tpu.models import build_model
     from pmv_tpu.parallel import mesh as mesh_lib
 
-    cfg = _mvitv2_s_cfg(tiny=False)
-    # Full PMV recipe: on-device RandAugment + erasing + mixup
-    # (`exps/PMV/run_MViT_PMV.sh` defaults).
-    cfg.AUG.ENABLE = True
-    cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
-    cfg.AUG.RE_PROB = 0.25
-    # TPU-recipe knobs (both measured wins on v5e, see ROADMAP): native
-    # RngBitGenerator keys and a bf16 on-device augmentation chain.
-    cfg.TPU.PRNG_IMPL = "rbg"
-    cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
-    # Chunked q-tiled attention (round 3, swept 512/1k/2k/4k on v5e):
-    # 2048 wins at bs8 (94.1 -> 93.4 ms) and bs32 (14.6 -> 13.8 ms/clip),
-    # and removes the [B,H,N,N'] probs buffers that blocked bs64 compile.
-    cfg.TPU.ATTN_Q_CHUNK = 2048
-    # Flat-pool layout (round 3): q/k/v stay [B,N,heads*C] through the
-    # pools (FlatGroupLN; one per-head unfold at the einsum boundary).
-    # Kills most of the 15.5 ms of flat<->grid<->heads relayout copies the
-    # per-op profile attributed to the pools: 93.4 -> 88.5 ms at bs8.
-    # Exact same math and param tree (tests/test_merged_pools.py).
-    cfg.MVIT.FLAT_POOLS = True
+    # Full PMV recipe (`exps/PMV/run_MViT_PMV.sh` aug defaults) + the
+    # measured TPU knobs, shared with ablate/hlo_dump so the measured
+    # program and the attribution dumps can't drift (see ROADMAP for the
+    # per-knob measurements: rbg PRNG, bf16 preprocess, chunk2k attention,
+    # flat pools).
+    cfg = apply_bench_recipe(_mvitv2_s_cfg(tiny=False))
     platform = jax.devices()[0].platform
     if platform == "cpu":
         # CI fallback: tiny config so the bench finishes.

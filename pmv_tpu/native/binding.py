@@ -44,7 +44,15 @@ def get_lib():
     with _BUILD_LOCK:
         if _LIB is not None:
             return _LIB
-        if not os.path.exists(_LIB_PATH):
+        # Rebuild when the source is newer than a prebuilt .so — new
+        # symbols (e.g. pmv_resize_bilinear) get argtypes set
+        # unconditionally below, so a stale library would raise
+        # AttributeError and break every native entry point.
+        _src = os.path.join(_HERE, "video_decoder.cpp")
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(_src)
+            and os.path.getmtime(_src) > os.path.getmtime(_LIB_PATH)
+        ):
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.pmv_open.restype = ctypes.c_void_p

@@ -40,6 +40,7 @@ class TaskInfo:
     clip_vis_size: int = 10
     action_preds: Any = None  # [C] or [num_boxes, C] scores; None = skipped
     bboxes: Any = None  # [num_boxes, 4] crop-space xyxy or None
+    num_pad_frames: int = 0  # repeated tail frames (final partial window)
 
     def add_frames(self, idx, frames):
         self.id = idx

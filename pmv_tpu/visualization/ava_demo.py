@@ -22,7 +22,12 @@ import jax
 import numpy as np
 
 from pmv_tpu.data import transform
-from pmv_tpu.data.ava import MAX_BOXES, get_sequence, parse_bboxes_file
+from pmv_tpu.data.ava import (
+    MAX_BOXES,
+    _scale_box_ratio,
+    get_sequence,
+    parse_bboxes_file,
+)
 from pmv_tpu.engine import steps
 from pmv_tpu.models import build_model
 from pmv_tpu.utils import checkpoint as cu
@@ -163,7 +168,10 @@ def ava_demo(cfg):
         seq = np.asarray(get_sequence(kf, seq_len // 2, stride, total)[:t])
         frames = reader.read_frames(seq).astype(np.float32)
         scaled = transform.short_side_scale(frames, crop)
-        factor = scaled.shape[1] / frames.shape[1]
+        # Reference `cv2_transform.scale_boxes` uses the LONG-side floor
+        # ratio (floor(w/h*size)/w for landscape), not the short-side
+        # ratio — sub-pixel difference that matters for RoIAlign parity.
+        factor = _scale_box_ratio(frames.shape[1], frames.shape[2], crop)
         boxes_in = np.zeros((MAX_BOXES, 4), np.float32)
         boxes_in[:n] = np.asarray(boxes_px[:n], np.float32) * factor
         mask = np.zeros((MAX_BOXES,), bool)
@@ -223,14 +231,21 @@ def ava_demo(cfg):
         new_frames = frame_range(max(start_idx, prev_end_idx), num_new)
         clip = prev_buffer + new_frames
         prev_end_idx = max(start_idx, prev_end_idx) + len(new_frames)
-        for is_gt, boxes, labels in all_boxes[kf]:
+        for i, (is_gt, boxes, labels) in enumerate(all_boxes[kf]):
             if not len(boxes):
                 continue
-            if is_gt:
+            # Reference branches on entry INDEX, not is_gt
+            # (`ava_demo_precomputed_boxes.py:275-281`): the first entry
+            # gets repeat=SLOWMO + the base draw_range, later entries
+            # repeat=1 + the repeat-extended range — so a GT-only
+            # keyframe is slowed down like a prediction would be.
+            if i == 0:
+                repeat, rng = no_repeat, draw_range
+            else:
                 repeat, rng = 1, draw_range_repeat
+            if is_gt:
                 preds = labels
             else:
-                repeat, rng = no_repeat, draw_range
                 preds = np.asarray(labels, np.float32)
                 if preds.ndim != 2 or not preds.shape[1]:
                     continue  # keyframe never scored (off-video)

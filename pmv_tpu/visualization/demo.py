@@ -41,9 +41,11 @@ logger = pmv_logging.get_logger(__name__)
 
 
 def _cv2_stream_windows(cap, seq_len):
-    """Yield consecutive ``seq_len``-frame windows (RGB uint8 [T, H, W, 3])
-    from an opened cv2.VideoCapture until the stream ends. A final partial
-    window is padded by repeating its last frame."""
+    """Yield ``(window, real_len)``: consecutive ``seq_len``-frame windows
+    (RGB uint8 [T, H, W, 3]) from an opened cv2.VideoCapture until the
+    stream ends. A final partial window is padded by repeating its last
+    frame (model input only — the padded tail is trimmed before writing,
+    matching the reference which never emits frames it didn't read)."""
     import cv2
 
     buf = []
@@ -51,23 +53,27 @@ def _cv2_stream_windows(cap, seq_len):
         ret, frame = cap.read()
         if not ret:
             if buf:
+                real = len(buf)
                 while len(buf) < seq_len:
                     buf.append(buf[-1])
-                yield np.stack(buf)
+                yield np.stack(buf), real
             return
         buf.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
         if len(buf) == seq_len:
-            yield np.stack(buf)
+            yield np.stack(buf), seq_len
             buf = []
 
 
 def _file_windows(reader, seq_len):
-    """Yield consecutive ``seq_len``-frame windows from the native reader,
-    padding the final partial window with its last frame."""
+    """Yield ``(window, real_len)`` windows from the native reader; the
+    final partial window is padded with its last frame for the model input
+    and trimmed again before writing."""
     total = reader.num_frames
     for start in range(0, total, seq_len):
         idx = np.minimum(np.arange(start, start + seq_len), total - 1)
-        yield reader.read_frames(idx.astype(np.int64))
+        yield reader.read_frames(idx.astype(np.int64)), min(
+            seq_len, total - start
+        )
 
 
 def build_video_visualizer(cfg):
@@ -148,13 +154,14 @@ def demo(cfg):
 
     def decoder_stage():
         buffer = None
-        for i, frames in enumerate(windows):
+        for i, (frames, real_len) in enumerate(windows):
             task = TaskInfo(
                 num_buffer_frames=0 if buffer is None else len(buffer),
                 img_height=frames.shape[1],
                 img_width=frames.shape[2],
                 crop_size=size,
                 clip_vis_size=cfg.DEMO.CLIP_VIS_SIZE,
+                num_pad_frames=len(frames) - real_len,
             )
             full = frames if buffer is None else np.concatenate(
                 [buffer, frames]
@@ -224,7 +231,10 @@ def demo(cfg):
             time.sleep(0.01)
             continue
         received += 1
-        for f in np.asarray(task.frames)[task.num_buffer_frames:]:
+        emit = np.asarray(task.frames)[task.num_buffer_frames:]
+        if task.num_pad_frames:
+            emit = emit[: len(emit) - task.num_pad_frames]
+        for f in emit:
             out_frames.append(np.ascontiguousarray(f, np.uint8))
     async_vis.shutdown()
     if reader is not None:

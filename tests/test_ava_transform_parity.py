@@ -17,11 +17,19 @@ from pmv_tpu.config import get_cfg
 import pmv_tpu.data  # noqa: F401
 from pmv_tpu.data import ava as pmv_ava
 
-REF_CV2T = "/root/reference/MViT/slowfast/datasets/cv2_transform.py"
+REF_CV2T = os.environ.get(
+    "PMV_REF_CV2_TRANSFORM",
+    "/root/reference/MViT/slowfast/datasets/cv2_transform.py",
+)
 
 
 @pytest.fixture(scope="module")
 def cv2t():
+    if not os.path.exists(REF_CV2T):
+        pytest.skip(
+            f"reference cv2_transform.py not found at {REF_CV2T} "
+            "(set PMV_REF_CV2_TRANSFORM to override)"
+        )
     spec = importlib.util.spec_from_file_location("ref_cv2_transform", REF_CV2T)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -113,6 +113,30 @@ def test_demo_end_to_end(tmp_path):
         assert vr.num_frames == 24
 
 
+def test_demo_non_multiple_frame_count(tmp_path):
+    """A source whose length is not a multiple of seq_len must not grow:
+    the padded model-input tail is trimmed before writing (25 in -> 25
+    out, not 32)."""
+    from pmv_tpu.native import binding
+    from pmv_tpu.visualization.demo import demo
+
+    rng = np.random.default_rng(1)
+    vid = tmp_path / "in25.avi"
+    binding.write_test_video(
+        vid, rng.integers(0, 255, (25, 32, 24, 3), dtype=np.uint8), fps=12
+    )
+    cfg = _tiny_x3d_cfg()
+    cfg.DEMO.ENABLE = True
+    cfg.DEMO.INPUT_VIDEO = str(vid)
+    cfg.DEMO.OUTPUT_FILE = str(tmp_path / "out25.avi")
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DEMO.NUM_VIS_INSTANCES = 1
+    cfg.OUTPUT_DIR = str(tmp_path)
+    out = demo(cfg)
+    with binding.VideoReader(out) as vr:
+        assert vr.num_frames == 25
+
+
 def test_cv2_stream_windows(tmp_path):
     """Webcam-path window assembly, driven by a file-backed cv2 capture."""
     cv2 = pytest.importorskip("cv2")
@@ -130,11 +154,15 @@ def test_cv2_stream_windows(tmp_path):
     cap.release()
     # 25 frames -> 3 full 8-frame windows + a last-frame-padded tail.
     assert len(windows) == 4
-    for frames in windows:
+    for frames, real_len in windows[:-1]:
         assert frames.shape == (8, 32, 24, 3)  # (T, H, W, C) from the file
         assert frames.dtype == np.uint8
+        assert real_len == 8
+    tail, tail_real = windows[-1]
+    assert tail.shape == (8, 32, 24, 3)
+    assert tail_real == 1  # 25 = 3*8 + 1 real frame in the tail window
     # Tail window: frame 24 repeated into the pad.
-    assert (windows[-1][1] == windows[-1][-1]).all()
+    assert (tail[1] == tail[-1]).all()
 
 
 def test_visualize_tool_model_vis(tmp_path):

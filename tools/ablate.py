@@ -23,21 +23,11 @@ BATCH = 8
 
 
 def base_cfg():
-    from __graft_entry__ import _mvitv2_s_cfg
+    # The shared production recipe (bench.py parity by construction);
+    # variants below toggle individual knobs off to re-measure deltas.
+    from __graft_entry__ import _mvitv2_s_cfg, apply_bench_recipe
 
-    cfg = _mvitv2_s_cfg(tiny=False)
-    cfg.AUG.ENABLE = True
-    cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
-    cfg.AUG.RE_PROB = 0.25
-    # Match bench.py's production recipe so ablations measure what the
-    # scoreboard runs (both were measured wins, ROADMAP).
-    cfg.TPU.PRNG_IMPL = "rbg"
-    cfg.TPU.PREPROCESS_DTYPE = "bfloat16"
-    # Round-3 adopted wins (bench.py parity): chunked attention + flat
-    # pools. Variants below toggle these off to re-measure the deltas.
-    cfg.TPU.ATTN_Q_CHUNK = 2048
-    cfg.MVIT.FLAT_POOLS = True
-    return cfg
+    return apply_bench_recipe(_mvitv2_s_cfg(tiny=False))
 
 
 VARIANTS = {

@@ -72,6 +72,7 @@ def main():
     groups = collections.Counter()
     op_groups = collections.Counter()
     total = 0
+    staging_dedup = [0, 0]  # [S(1) prefetch staging, ConcatBitcast alias]
     for l in lines[start + 1:]:
         if l.startswith("}"):
             break
@@ -92,16 +93,24 @@ def main():
         if kind in ("bitcast", "get-tuple-element", "tuple", "parameter",
                     "constant", "copy-done", "async-done", "after-all"):
             continue
+        head = ls[: ls.find(", metadata={")] if ", metadata={" in ls else ls
         if kind in ("copy-start", "async-start"):
             # Tuple-result async ops print (context/full-input, moved-slice,
             # token): the real HBM movement is the moved slice only.
-            sizes = [shape_bytes(m) for m in SHAPE_RE.finditer(
-                ls[: ls.find(", metadata={")] if ", metadata={" in ls else ls
-            )]
+            sizes = [shape_bytes(m) for m in SHAPE_RE.finditer(head)]
             sizes = [s for s in sizes if s > 1024]
             b = min(sizes) if sizes else line_bytes(ls)
+            # MSA prefetch into VMEM (S(1) on the result side): this IS the
+            # consumer fusion's operand read, which the ranker also counts
+            # at the consumer — track for the deduped total.
+            res_part = head.split(kind + "(")[0]
+            if "S(1)" in res_part:
+                staging_dedup[0] += b
         else:
             b = line_bytes(ls)
+            if kind == "custom-call" and 'custom_call_target="ConcatBitcast"' in ls:
+                # TPU concat-by-aliasing: no data movement.
+                staging_dedup[1] += b
         total += b
         groups[group_key(op_name)] += b
         op_groups[kind] += b
@@ -158,6 +167,11 @@ def main():
         groups[k] += v
     rows.sort(reverse=True)
     print(f"total est. entry traffic: {total / 1e9:.1f} GB")
+    print(
+        f"deduped (- {staging_dedup[0] / 1e9:.1f} GB VMEM-prefetch staging "
+        f"double-count, - {staging_dedup[1] / 1e9:.1f} GB ConcatBitcast "
+        f"aliasing): {(total - sum(staging_dedup)) / 1e9:.1f} GB"
+    )
     print("\n== top instructions ==")
     for b, name, kind, op_name in rows[:topn]:
         print(f"{b / 1e6:9.1f} MB  {kind:18s} {name[:36]:36s} {op_name}")

@@ -105,8 +105,9 @@ def row(m, k, n, tag="", stream_only=False):
         ms = _time(loop_stream, xs, w)
         cols.append("stream " + _fmt(ms, 2 * m * k))
         acc0 = jnp.zeros((m, n), jnp.bfloat16)
+        # acc += y: x read + acc read/write (y fuses into the add).
         ms = _time(loop_stream_out, xs, w, acc0)
-        cols.append("+out " + _fmt(ms, 2 * (m * k + 3 * m * n)))
+        cols.append("+out " + _fmt(ms, 2 * (m * k + 2 * m * n)))
         del xs
     print(f"[{m:6d},{k:5d}]@[{k:5d},{n:5d}] {tag:10s} " + " | ".join(cols),
           flush=True)

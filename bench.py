@@ -112,6 +112,12 @@ def main():
                 "vs_baseline": round(
                     clips_per_sec_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3
                 ),
+                # Bandwidth-model extrapolation (VERDICT r4 #7): the step
+                # is HBM-bound (ROADMAP byte ledger), so time scales with
+                # the HBM ratio — v5p 2765/819 GB/s = 3.38x v5e.
+                "v5p_extrap_bw_bound": round(
+                    clips_per_sec_per_chip * 2765.0 / 819.0, 1
+                ),
             }
         )
     )

@@ -6,7 +6,11 @@ families with their recipe batch sizes scaled to one chip so perf work
 covers the whole zoo (`exps/PMV/run_{Uniformer,X3D}_PMV.sh` recipes,
 UniFormer-S 16x4 bs 96/8GPU -> 12, X3D-M bs 64/8 -> 8).
 
-Prints one JSON line per family.
+Prints one JSON line per family. Each row carries extrapolated v5p/v6e
+columns (VERDICT r4 #7) under the stated model: the measured step is
+HBM-bandwidth-bound (ROADMAP byte ledger), so step time scales with the
+HBM-bandwidth ratio (v5p 2765 GB/s = 3.38x v5e's 819, v6e 1640 = 2.0x);
+the extrapolation is an upper bound where a family is compute-bound.
 Usage: python tools/family_bench.py [family ...]   (default: all)
 """
 
@@ -51,6 +55,10 @@ def family_cfg(yaml_rel, aug):
     return assert_and_infer_cfg(cfg)
 
 
+V5P_BW_RATIO = 2765.0 / 819.0
+V6E_BW_RATIO = 1640.0 / 819.0
+
+
 def time_family(name):
     from pmv_tpu.engine import steps
     from pmv_tpu.models import build_model
@@ -90,27 +98,21 @@ def time_family(name):
         state, metrics = train_step(state, device_batch, rng, 1e-4)
     jax.device_get(metrics["loss"])
     dt = time.perf_counter() - t0
-    print(
-        json.dumps(
-            {
-                "family": name,
-                "batch": batch,
-                "ms_per_step": round(dt / n * 1e3, 2),
-                "clips_per_sec_per_chip": round(batch * n / dt, 2),
-            }
-        ),
-        flush=True,
-    )
+    _report(name, batch, dt, n)
 
 
 def _report(name, batch, dt, n):
+    cps = batch * n / dt
     print(
         json.dumps(
             {
                 "family": name,
                 "batch": batch,
                 "ms_per_step": round(dt / n * 1e3, 2),
-                "clips_per_sec_per_chip": round(batch * n / dt, 2),
+                "clips_per_sec_per_chip": round(cps, 2),
+                # Bandwidth-model extrapolations (see module docstring).
+                "v5p_extrap_bw_bound": round(cps * V5P_BW_RATIO, 1),
+                "v6e_extrap_bw_bound": round(cps * V6E_BW_RATIO, 1),
             }
         ),
         flush=True,

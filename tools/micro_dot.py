@@ -138,7 +138,18 @@ def row(m, k, n, tag="", dtype=jnp.bfloat16):
 
 
 def main():
-    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode == "focus":
+        # Trimmed round-5 set: the s4 row, the K=96-vs-128 lane-padding
+        # question for stage 1, and the square sanity rows.
+        row(8 * 393, 768, 3072, "s4 fc1")
+        row(8 * 6273, 96, 384, "k=96")
+        row(8 * 6273, 128, 384, "k=128")
+        row(8 * 6273, 96, 128, "n=96->128")
+        row(2048, 2048, 2048, "square2k")
+        row(4096, 4096, 4096, "square4k")
+        return
+    quick = mode == "quick"
     print(f"# device: {jax.devices()[0]}, marginal over iters {LO}->{HI}")
     print("# --- flagship geometries (bs8 flat tokens) ---")
     flagship = [

@@ -99,10 +99,16 @@ class PatchEmbed(nn.Module):
     padding: Sequence[int]
     conv_2d: bool = False
     use_fold: bool = False
+    # TPU.LANE_PAD: widen the token channels to pad_out with a zero lane
+    # tail. Params stay at the reference dim_out; the fold path pads the
+    # projection weights inside the graph (tokens are BORN padded, no
+    # activation copy), the nn.Conv paths pad the conv output.
+    pad_out: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        pad_out = self.pad_out or self.dim_out
         if (
             self.use_fold
             and not self.conv_2d
@@ -114,12 +120,15 @@ class PatchEmbed(nn.Module):
             w, b = _ProjParams(
                 self.dim_out, tuple(self.kernel), x.shape[-1], name="proj"
             )()
+            if pad_out != self.dim_out:
+                w = jnp.pad(w, ((0, 0),) * 4 + ((0, pad_out - self.dim_out),))
+                b = jnp.pad(b, (0, pad_out - self.dim_out))
             x = _fold_patch_conv(
                 x, w, b, tuple(self.kernel), tuple(self.stride),
                 tuple(self.padding), self.dtype,
             )
             thw = (x.shape[1], x.shape[2], x.shape[3])
-            return x.reshape(x.shape[0], -1, self.dim_out), thw
+            return x.reshape(x.shape[0], -1, pad_out), thw
         if self.conv_2d:
             # Per-frame 2D conv: fold T into batch.
             b, t, h, w, c = x.shape
@@ -139,7 +148,9 @@ class PatchEmbed(nn.Module):
                 kernel_init=trunc_normal_init(0.02), name="proj",
             )(x)
         thw = (x.shape[1], x.shape[2], x.shape[3])
-        return x.reshape(x.shape[0], -1, self.dim_out), thw
+        if pad_out != self.dim_out:
+            x = jnp.pad(x, ((0, 0),) * 4 + ((0, pad_out - self.dim_out),))
+        return x.reshape(x.shape[0], -1, pad_out), thw
 
 
 class ResNetBasicStem(nn.Module):

@@ -82,6 +82,23 @@ VARIANTS = {
     # the cost of the cls split/concat copies around every pool.
     "diag_no_cls": lambda c: _set(c, [("MVIT.CLS_EMBED_ON", False)]),
     "bs4": lambda c: c,
+    # DIAGNOSTIC (round 5, not parity): lane-aligned stage dims 128/256/
+    # 384/768 instead of 96/192/384/768. The bs8 HLO shows XLA choosing
+    # N-minor layouts for every stage-1/2 tensor (C=96/192 wastes 128-lane
+    # vregs) and paying ~5.7 GB of relayout copies at the conv/dot
+    # boundaries, 2.9 GB at block 1 alone. This prices the layout regime:
+    # +33% stage-1/2 dot FLOPs vs the copies gone. Measured: 92.82 vs
+    # 85.6 base — the genuinely-bigger model costs more than the copies.
+    "diag_embed128": lambda c: _set(
+        c, [("MVIT.EMBED_DIM", 128),
+            ("MVIT.DIM_MUL", [[1, 2.0], [3, 1.5], [14, 2.0]])]
+    ),
+    # Exact lane padding (round 5): zero-tail-padded ACTIVATIONS at
+    # 128-lane widths, reference-shaped params, real-width attention
+    # core — the production candidate the diagnostic above priced.
+    "lane_pad": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
+    "eval_lane_pad": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
+    "lane_pad_bs32": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
     "per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
     "eval_per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
     "eval_diag_attn_ident": lambda c: c,
@@ -204,7 +221,7 @@ def time_variant(name):
         "chunk1k_bs32": 32, "chunk2k_bs32": 32,
         "chunk1k_bs64": 64, "chunk2k_bs64": 64,
         "chunk512_bs64": 64, "chunk512_bs48": 48,
-        "noflat_bs32": 32,
+        "noflat_bs32": 32, "lane_pad_bs32": 32,
         "flat_bs32": 32, "flat_bs32_d4": 32, "flat_bs32_d2": 32,
         "flat_bs32_d1": 32, "flat_bs32_norel": 32, "flat_bs32_nochunk": 32,
         "flat_bs32_noaug": 32, "flat_bs32_nosparse": 32,

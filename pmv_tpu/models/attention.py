@@ -668,17 +668,22 @@ class AttentionPool(nn.Module):
             # h-major (folded j = h*C + c) to line up with that tiling.
             hc = H * C + lane_tail
             x = x.reshape(B, T, Hh, Ww, hc)
+            if lane_tail:
+                # Run the depthwise conv at the REAL channel count and
+                # re-attach the zero lane tail to the output: the TPU
+                # compile helper crashes (HTTP 500) on the grouped-conv
+                # GRADIENT whenever the kernel operand carries a zero
+                # tail (pad, concat and dus producers all reproduce it;
+                # tools/min_lanepad_crash.py, round 5) — the sliced-input
+                # real-width conv is the reference lowering and compiles.
+                x = jax.lax.slice_in_dim(x, 0, H * C, axis=4)
             kernel = self.param(
                 "pool_kernel",
                 trunc_normal_init(0.02),
                 tuple(self.kernel) + (1, C),
             )
-            tiled = jnp.tile(kernel, (1, 1, 1, 1, H))
-            if lane_tail:
-                tiled = jnp.pad(
-                    tiled, ((0, 0),) * 4 + ((0, lane_tail),)
-                )
-            tiled = tiled.astype(self.dtype)
+            tiled = jnp.tile(kernel, (1, 1, 1, 1, H)).astype(self.dtype)
+            hc_conv = H * C
             impl = "pallas" if self.use_pallas_pools else self.pool_impl
             on_tpu = jax.default_backend() == "tpu"
             if impl == "auto":
@@ -708,7 +713,7 @@ class AttentionPool(nn.Module):
                 from pmv_tpu.ops.depthwise_pallas import depthwise3x3x3
 
                 x = depthwise3x3x3(
-                    x.astype(self.dtype), tiled.reshape(3, 3, 3, hc)
+                    x.astype(self.dtype), tiled.reshape(3, 3, 3, hc_conv)
                 )
             else:
                 # TPU: depthwise convs want 128-lane-aligned channels
@@ -718,17 +723,24 @@ class AttentionPool(nn.Module):
                 # grouped-conv *gradient* simplification miscompiles the
                 # pad/slice pair (batch_group_count mismatch), so training
                 # keeps the native channel count.
-                hc_pad = -(-hc // 128) * 128 if self.pad_lanes else hc
-                if hc_pad != hc:
-                    x = jnp.pad(x, ((0, 0),) * 4 + ((0, hc_pad - hc),))
+                hc_pad = (
+                    -(-hc_conv // 128) * 128 if self.pad_lanes else hc_conv
+                )
+                if hc_pad != hc_conv:
+                    x = jnp.pad(x, ((0, 0),) * 4 + ((0, hc_pad - hc_conv),))
                     tiled = jnp.pad(
-                        tiled, ((0, 0),) * 3 + ((0, 0), (0, hc_pad - hc))
+                        tiled, ((0, 0),) * 3 + ((0, 0), (0, hc_pad - hc_conv))
                     )
                 x = _pool_conv(
                     x.astype(self.dtype), tiled, tuple(self.stride), padding
                 )
-                if hc_pad != hc:
-                    x = x[..., :hc]
+                if hc_pad != hc_conv:
+                    x = x[..., :hc_conv]
+            if lane_tail:
+                x = jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-1] + (lane_tail,), x.dtype)],
+                    axis=-1,
+                )
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
             x = x.reshape((B, -1, hc) if self.flat else (B, -1, H, C))
         else:

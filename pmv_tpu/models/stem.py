@@ -120,15 +120,20 @@ class PatchEmbed(nn.Module):
             w, b = _ProjParams(
                 self.dim_out, tuple(self.kernel), x.shape[-1], name="proj"
             )()
-            if pad_out != self.dim_out:
-                w = jnp.pad(w, ((0, 0),) * 4 + ((0, pad_out - self.dim_out),))
-                b = jnp.pad(b, (0, pad_out - self.dim_out))
             x = _fold_patch_conv(
                 x, w, b, tuple(self.kernel), tuple(self.stride),
                 tuple(self.padding), self.dtype,
             )
             thw = (x.shape[1], x.shape[2], x.shape[3])
-            return x.reshape(x.shape[0], -1, pad_out), thw
+            x = x.reshape(x.shape[0], -1, self.dim_out)
+            if pad_out != self.dim_out:
+                # One stem-output lane pad (~tens of MB at bs8); padding
+                # the conv KERNEL instead crashes the TPU compile helper's
+                # conv-gradient path (tools/min_lanepad_crash.py).
+                x = jnp.pad(
+                    x, ((0, 0), (0, 0), (0, pad_out - self.dim_out))
+                )
+            return x, thw
         if self.conv_2d:
             # Per-frame 2D conv: fold T into batch.
             b, t, h, w, c = x.shape

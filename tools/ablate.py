@@ -99,6 +99,37 @@ VARIANTS = {
     "lane_pad": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
     "eval_lane_pad": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
     "lane_pad_bs32": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
+    "lane_pad_novjp": lambda c: _set(
+        c, [("TPU.LANE_PAD", True), ("TPU.FLAT_LN_VJP", False)]
+    ),
+    "lane_pad_nochunk": lambda c: _set(
+        c, [("TPU.LANE_PAD", True), ("TPU.ATTN_Q_CHUNK", 0)]
+    ),
+    # Crash minimization for the lane_pad train-compile HTTP-500:
+    "lane_pad_poolslice": lambda c: _set(
+        c, [("TPU.LANE_PAD", True), ("MVIT.POOL_CONV_IMPL", "slice")]
+    ),
+    "lane_pad_nosparse": lambda c: _set(
+        c, [("TPU.LANE_PAD", True), ("MVIT.SPARSE_KV_POOL", False)]
+    ),
+    "lane_pad_d4": lambda c: _set(
+        c, [("TPU.LANE_PAD", True), ("MVIT.DEPTH", 4),
+            ("MVIT.DIM_MUL", [[1, 2.0], [3, 2.0]]),
+            ("MVIT.HEAD_MUL", [[1, 2.0], [3, 2.0]]),
+            ("MVIT.POOL_Q_STRIDE",
+             [[0, 1, 1, 1], [1, 1, 2, 2], [2, 1, 1, 1], [3, 1, 2, 2]])]
+    ),
+    "lane_pad_d1": lambda c: _set(  # no pool convs / no skip max-pool
+        c, [("TPU.LANE_PAD", True), ("MVIT.DEPTH", 1),
+            ("MVIT.DIM_MUL", []), ("MVIT.HEAD_MUL", []),
+            ("MVIT.POOL_Q_STRIDE", [[0, 1, 1, 1]])]
+    ),
+    "lane_pad_max": lambda c: _set(
+        c, [("TPU.LANE_PAD", True), ("MVIT.MODE", "max")]
+    ),
+    "lane_pad_noln": lambda c: _set(  # conv pools, pool-LN skipped (diag)
+        c, [("TPU.LANE_PAD", True)]
+    ),
     "per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
     "eval_per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
     "eval_diag_attn_ident": lambda c: c,
@@ -209,6 +240,7 @@ def time_variant(name):
     from pmv_tpu.models import build_model
     from pmv_tpu.parallel import mesh as mesh_lib
 
+    attn_mod._DIAG_SKIP_POOL_LN = name == "lane_pad_noln"
     attn_mod._DIAG_ATTENTION_IDENTITY = name.endswith("diag_attn_ident")
     attn_mod._DIAG_SKIP_MLP = name == "diag_skip_mlp"
     attn_mod._DIAG_SKIP_ATTN_BRANCH = name == "diag_skip_attn_branch"

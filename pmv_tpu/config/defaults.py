@@ -624,14 +624,6 @@ _C.TPU.FOLD_STEM = True
 # to blocks whose Nq exceeds the chunk; exact same math (softmax rows are
 # independent). See chunked_attention() in models/attention.py.
 _C.TPU.ATTN_Q_CHUNK = 0
-# Zero-padded 128-lane channel widths for MViT (96 -> 128, 192 -> 256;
-# lane-aligned stages unchanged). Mathematically exact: padded channels
-# are zero at init and stay zero (masked LN statistics keep their
-# gradients exactly zero; adamw/decay preserve zeros), and the torch
-# importer zero-pads reference tensors. Motivation: XLA assigns N-minor
-# layouts to lane-unaligned stage-1/2 tensors and pays ~5.7 GB/step of
-# physical relayout copies around the pool convs (round-5 HLO ledger).
-_C.TPU.LANE_PAD = False
 # Recompute each chunk's probs in the backward (jax.checkpoint around the
 # chunk body) instead of storing them fwd->bwd. Required for the large-
 # batch memory win; turn off to measure store-vs-recompute.

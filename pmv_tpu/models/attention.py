@@ -31,16 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pmv_tpu.models.common import (
-    DropPath,
-    MaskedLayerNorm,
-    Mlp,
-    PaddedDense,
-    avg_pool_3d,
-    max_pool_3d,
-    pad_lanes,
-    trunc_normal_init,
-)
+from pmv_tpu.models.common import DropPath, Mlp, max_pool_3d, avg_pool_3d, trunc_normal_init
 
 # One-shot (per process) notice that FLAT_POOLS fell back on batch size.
 _FLAT_FALLBACK_WARNED = []
@@ -67,16 +58,10 @@ class FusedQKVSplitDots(nn.Module):
     the gradient (measured via tools/hlo_rank.py; the step is HBM-bound).
     """
 
-    dim_out: int  # real (reference) width of each q/k/v slice
+    dim_out: int
     num_heads: int
     use_bias: bool = False
     kernel_init: Any = None  # default trunc_normal_init(0.02)
-    # TPU.LANE_PAD: x may carry a zero lane tail (real width real_in) and
-    # each output slice is widened to pad_to with a zero tail. The kernel
-    # and bias params stay at the reference shapes; zero-padding them
-    # inside the graph makes the padded output lanes exact zeros.
-    real_in: int = 0
-    pad_to: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,13 +72,10 @@ class FusedQKVSplitDots(nn.Module):
         is exactly the reference projection restricted to the tokens the
         strided pooling conv actually reads."""
         B, N, in_dim = x.shape
-        real_in = self.real_in or in_dim
-        pad_to = self.pad_to or self.dim_out
-        assert flat or pad_to == self.dim_out, "LANE_PAD requires flat pools"
         kernel = self.param(
             "kernel",
             self.kernel_init or trunc_normal_init(0.02),
-            (real_in, 3 * self.dim_out),
+            (in_dim, 3 * self.dim_out),
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (3 * self.dim_out,))
@@ -109,16 +91,12 @@ class FusedQKVSplitDots(nn.Module):
             w = jax.lax.slice_in_dim(
                 kernel, i * self.dim_out, (i + 1) * self.dim_out, axis=1
             )
-            w = jnp.pad(
-                w, ((0, in_dim - real_in), (0, pad_to - self.dim_out))
-            )
             y = jnp.dot(src, w)
             b_i = None
             if bias is not None:
                 b_i = jax.lax.slice_in_dim(
                     bias, i * self.dim_out, (i + 1) * self.dim_out, axis=0
                 )
-                b_i = jnp.pad(b_i, (0, pad_to - self.dim_out))
                 y = y + b_i
             slices.append(b_i)
             outs.append(
@@ -353,23 +331,8 @@ def _pool_conv(x, w, stride, padding):
     )
 
 
-def _gln_m01(H, hc, real_c):
-    """[hc, H] 0/1 per-head-group membership matrix.
-
-    Unpadded (real_c == hc // H): identical to kron(eye(H), ones(C, 1)).
-    Under TPU.LANE_PAD the flat layout is tail-padded — the real channels
-    sit h-major-contiguous at [h*real_c, (h+1)*real_c) and the zero lane
-    tail occupies [H*real_c, hc) — so the tail rows are ZERO: statistics
-    neither read the pad lanes nor send gradient into them.
-    """
-    m = np.zeros((hc, H), np.float32)
-    for h in range(H):
-        m[h * real_c:(h + 1) * real_c, h] = 1.0
-    return m
-
-
 @functools.lru_cache(maxsize=None)
-def _flat_gln_fn(H, hc, eps, real_c=0):
+def _flat_gln_fn(H, C, eps):
     """FlatGroupLN core with a hand-written backward, per (heads, C, eps).
 
     f(x [B,N,HC], scale_t [HC] f32, bias_t [HC] f32) -> y f32. Forward math
@@ -377,12 +340,9 @@ def _flat_gln_fn(H, hc, eps, real_c=0):
     the standard LN gradient with the same masked-matmul trick instead of
     autodiff through the E[x^2] chain (whose transposed dots are the LN
     backward cost in the round-3 per-op profile). Residuals: x + the tiny
-    [B,N,H] mean/inv; xhat is recomputed in backward. ``real_c`` < C is
-    the TPU.LANE_PAD case: stats run over the real lanes only (zeroed
-    m01 rows keep pad gradients exactly zero; see _gln_m01)."""
-    real_c = real_c or hc // H
-    m01 = _gln_m01(H, hc, real_c)
-    mj_np, mt_np = m01 / real_c, m01.T
+    [B,N,H] mean/inv; xhat is recomputed in backward."""
+    m01 = np.kron(np.eye(H), np.ones((C, 1), np.float32))
+    mj_np, mt_np = m01 / C, m01.T
 
     def _stats(x):
         xf = x.astype(jnp.float32)
@@ -392,10 +352,10 @@ def _flat_gln_fn(H, hc, eps, real_c=0):
         else:
             mean = jnp.einsum(
                 "bnk,kh->bnh", x, jnp.asarray(m01, x.dtype),
-                preferred_element_type=jnp.float32) / real_c
+                preferred_element_type=jnp.float32) / C
             var = jnp.einsum(
                 "bnk,kh->bnh", xf * xf, jnp.asarray(m01),
-                preferred_element_type=jnp.float32) / real_c - mean * mean
+                preferred_element_type=jnp.float32) / C - mean * mean
         return xf, mean, jax.lax.rsqrt(var + eps)
 
     @jax.custom_vjp
@@ -449,31 +409,25 @@ class FlatGroupLN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-6
     custom_grad: bool = False  # hand-written LN backward (TPU.FLAT_LN_VJP)
-    real_c: int = 0  # TPU.LANE_PAD: stats over the first real_c of each C
 
     @nn.compact
     def __call__(self, x):
         B, N, HC = x.shape
         H = self.heads
-        real_c = self.real_c or HC // H
-        tail = HC - H * real_c
-        scale = self.param("scale", nn.initializers.ones, (real_c,))
-        bias = self.param("bias", nn.initializers.zeros, (real_c,))
+        C = HC // H
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
         if self.custom_grad:
-            scale_t = jnp.pad(
-                jnp.tile(scale.astype(jnp.float32), H), (0, tail)
-            )
-            bias_t = jnp.pad(
-                jnp.tile(bias.astype(jnp.float32), H), (0, tail)
-            )
-            y = _flat_gln_fn(H, HC, self.epsilon, real_c)(x, scale_t, bias_t)
+            scale_t = jnp.tile(scale.astype(jnp.float32), H)
+            bias_t = jnp.tile(bias.astype(jnp.float32), H)
+            y = _flat_gln_fn(H, C, self.epsilon)(x, scale_t, bias_t)
             return y.astype(self.dtype)
-        m01 = _gln_m01(H, HC, real_c)  # [HC, H] 0/1 (tail rows zero)
+        m01 = np.kron(np.eye(H), np.ones((C, 1), np.float32))  # [HC, H] 0/1
         mt = jnp.asarray(m01.T)  # [H, HC] 0/1
         xf = x.astype(jnp.float32)
         if x.dtype == jnp.float32:
             # Bit-exact path (parity tests): f32 stats dots.
-            mj = jnp.asarray(m01 / real_c)
+            mj = jnp.asarray(m01 / C)
             mean = xf @ mj  # [B, N, H]
             var = (xf * xf) @ mj - mean * mean
         else:
@@ -487,15 +441,15 @@ class FlatGroupLN(nn.Module):
             mb = jnp.asarray(m01, x.dtype)
             mean = jnp.einsum(
                 "bnk,kh->bnh", x, mb,
-                preferred_element_type=jnp.float32) / real_c
+                preferred_element_type=jnp.float32) / C
             x2 = (xf * xf).astype(jnp.float32)
             var = jnp.einsum(
                 "bnk,kh->bnh", x2, jnp.asarray(m01),
-                preferred_element_type=jnp.float32) / real_c - mean * mean
+                preferred_element_type=jnp.float32) / C - mean * mean
         mean_f = mean @ mt  # [B, N, HC]
         inv_f = jax.lax.rsqrt(var + self.epsilon) @ mt
-        scale_t = jnp.pad(jnp.tile(scale.astype(jnp.float32), H), (0, tail))
-        bias_t = jnp.pad(jnp.tile(bias.astype(jnp.float32), H), (0, tail))
+        scale_t = jnp.tile(scale.astype(jnp.float32), H)
+        bias_t = jnp.tile(bias.astype(jnp.float32), H)
         return ((xf - mean_f) * inv_f * scale_t + bias_t).astype(self.dtype)
 
 
@@ -518,7 +472,6 @@ class AttentionPool(nn.Module):
     flat: bool = False  # tokens stay [B, N, heads*C]; no 4-d per-head form
     heads: int = 1  # only read when flat (kernel tiling + LN groups)
     flat_ln_vjp: bool = False  # hand-written FlatGroupLN backward
-    real_c: int = 0  # TPU.LANE_PAD: real per-head width (< C when padded)
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-6
 
@@ -551,15 +504,9 @@ class AttentionPool(nn.Module):
             assert H >= 1 and HC_in % H == 0, (
                 f"flat AttentionPool needs heads dividing {HC_in}, got {H}"
             )
-            # TPU.LANE_PAD: x is tail-padded ([h-major real | zeros]); the
-            # pool kernel param keeps the REAL per-head width and its tiled
-            # flat form gains a zero tail, so pad lanes pool to zero.
-            C = self.real_c or HC_in // H
-            lane_tail = HC_in - H * C
+            C = HC_in // H
         else:
             B, N, H, C = x.shape
-            lane_tail = 0
-            assert not self.real_c, "LANE_PAD requires the flat layout"
 
         def _ln(t):
             if _DIAG_SKIP_POOL_LN:
@@ -567,8 +514,7 @@ class AttentionPool(nn.Module):
             if self.flat:
                 return FlatGroupLN(
                     heads=H, dtype=self.dtype, epsilon=self.norm_eps,
-                    custom_grad=self.flat_ln_vjp, real_c=self.real_c,
-                    name="norm",
+                    custom_grad=self.flat_ln_vjp, name="norm",
                 )(t)
             return nn.LayerNorm(
                 epsilon=self.norm_eps, dtype=self.dtype, name="norm"
@@ -583,17 +529,15 @@ class AttentionPool(nn.Module):
             T_in, H_in, W_in = thw_shape
             if self.has_cls_embed:
                 cls_tok, x = x[:, :1], x[:, 1:]
-            hc = H * C + lane_tail
-            z = x.reshape(B, Tp, Ph, kh, Pw, kw, hc)
+            z = x.reshape(B, Tp, Ph, kh, Pw, kw, H * C)
             kernel = self.param(
                 "pool_kernel",
                 trunc_normal_init(0.02),
                 tuple(self.kernel) + (1, C),
             )
-            tiled = jnp.tile(kernel.reshape(kt, kh, kw, C), (1, 1, 1, H))
-            if lane_tail:
-                tiled = jnp.pad(tiled, ((0, 0),) * 3 + ((0, lane_tail),))
-            tiled = tiled.astype(self.dtype)
+            tiled = jnp.tile(kernel.reshape(kt, kh, kw, C), (1, 1, 1, H)).astype(
+                self.dtype
+            )
             # Unrolled taps over DISJOINT strided views: the (i, j) slices
             # partition z, so the 27 FMAs read each element exactly once in
             # the tokens-major layout — no relayout. (The einsum form made
@@ -649,7 +593,7 @@ class AttentionPool(nn.Module):
                     )  # [T_out, Ph, Pw, HC]
                     acc = acc - proj_bias.astype(self.dtype) * kinv[None]
             x = acc.astype(self.dtype).reshape(
-                (B, -1, hc) if self.flat else (B, -1, H, C)
+                (B, -1, H * C) if self.flat else (B, -1, H, C)
             )
             if self.has_cls_embed:
                 x = jnp.concatenate([cls_tok.astype(self.dtype), x], axis=1)
@@ -666,24 +610,14 @@ class AttentionPool(nn.Module):
             # in the reference, so the folded kernel is the head-dim kernel
             # tiled H times — numerically identical. The fold must be
             # h-major (folded j = h*C + c) to line up with that tiling.
-            hc = H * C + lane_tail
-            x = x.reshape(B, T, Hh, Ww, hc)
-            if lane_tail:
-                # Run the depthwise conv at the REAL channel count and
-                # re-attach the zero lane tail to the output: the TPU
-                # compile helper crashes (HTTP 500) on the grouped-conv
-                # GRADIENT whenever the kernel operand carries a zero
-                # tail (pad, concat and dus producers all reproduce it;
-                # tools/min_lanepad_crash.py, round 5) — the sliced-input
-                # real-width conv is the reference lowering and compiles.
-                x = jax.lax.slice_in_dim(x, 0, H * C, axis=4)
+            x = x.reshape(B, T, Hh, Ww, H * C)
             kernel = self.param(
                 "pool_kernel",
                 trunc_normal_init(0.02),
                 tuple(self.kernel) + (1, C),
             )
             tiled = jnp.tile(kernel, (1, 1, 1, 1, H)).astype(self.dtype)
-            hc_conv = H * C
+            hc = H * C
             impl = "pallas" if self.use_pallas_pools else self.pool_impl
             on_tpu = jax.default_backend() == "tpu"
             if impl == "auto":
@@ -713,7 +647,7 @@ class AttentionPool(nn.Module):
                 from pmv_tpu.ops.depthwise_pallas import depthwise3x3x3
 
                 x = depthwise3x3x3(
-                    x.astype(self.dtype), tiled.reshape(3, 3, 3, hc_conv)
+                    x.astype(self.dtype), tiled.reshape(3, 3, 3, hc)
                 )
             else:
                 # TPU: depthwise convs want 128-lane-aligned channels
@@ -723,31 +657,23 @@ class AttentionPool(nn.Module):
                 # grouped-conv *gradient* simplification miscompiles the
                 # pad/slice pair (batch_group_count mismatch), so training
                 # keeps the native channel count.
-                hc_pad = (
-                    -(-hc_conv // 128) * 128 if self.pad_lanes else hc_conv
-                )
-                if hc_pad != hc_conv:
-                    x = jnp.pad(x, ((0, 0),) * 4 + ((0, hc_pad - hc_conv),))
+                hc_pad = -(-hc // 128) * 128 if self.pad_lanes else hc
+                if hc_pad != hc:
+                    x = jnp.pad(x, ((0, 0),) * 4 + ((0, hc_pad - hc),))
                     tiled = jnp.pad(
-                        tiled, ((0, 0),) * 3 + ((0, 0), (0, hc_pad - hc_conv))
+                        tiled, ((0, 0),) * 3 + ((0, 0), (0, hc_pad - hc))
                     )
                 x = _pool_conv(
                     x.astype(self.dtype), tiled, tuple(self.stride), padding
                 )
-                if hc_pad != hc_conv:
-                    x = x[..., :hc_conv]
-            if lane_tail:
-                x = jnp.concatenate(
-                    [x, jnp.zeros(x.shape[:-1] + (lane_tail,), x.dtype)],
-                    axis=-1,
-                )
+                if hc_pad != hc:
+                    x = x[..., :hc]
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
-            x = x.reshape((B, -1, hc) if self.flat else (B, -1, H, C))
+            x = x.reshape((B, -1, H * C) if self.flat else (B, -1, H, C))
         else:
             # Pooling is per-channel, so the folded H*C grid works for
             # max/avg too — same free reshape as the conv path.
-            hc = H * C + lane_tail
-            x = x.reshape(B, T, Hh, Ww, hc)
+            x = x.reshape(B, T, Hh, Ww, H * C)
             if self.mode == "max":
                 x = max_pool_3d(x, self.kernel, self.stride, padding)
             elif self.mode == "avg":
@@ -755,7 +681,7 @@ class AttentionPool(nn.Module):
             else:
                 raise NotImplementedError(f"Unsupported pool mode {self.mode}")
             new_thw = (x.shape[1], x.shape[2], x.shape[3])
-            x = x.reshape((B, -1, hc) if self.flat else (B, -1, H, C))
+            x = x.reshape((B, -1, H * C) if self.flat else (B, -1, H, C))
         if self.has_cls_embed:
             x = jnp.concatenate([cls_tok, x], axis=1)
         if self.mode == "conv":
@@ -800,13 +726,6 @@ class MultiScaleAttention(nn.Module):
     attn_impl: str = "batched"  # "batched" (bhqk einsums) | "per_head"
     attn_q_chunk: int = 0  # q-tiled attention chunk rows (0 = off)
     attn_chunk_remat: bool = True  # recompute chunk probs in backward
-    # TPU.LANE_PAD: activations carry zero lane tails while every param
-    # keeps its reference shape. dim_out stays the REAL width; q/k/v run
-    # through the pools at pad_lanes(dim_out) wide tail-padded layouts
-    # ([head-major real channels | zeros]) and the per-head unfold slices
-    # the tail off, so the attention core is byte-identical to unpadded.
-    lane_pad: bool = False
-    real_dim_in: int = 0  # real width of x (x.shape[-1] may be padded)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -814,11 +733,6 @@ class MultiScaleAttention(nn.Module):
         B, N, _ = x.shape
         head_dim = self.dim_out // self.num_heads
         scale = head_dim ** -0.5
-        pad_to = pad_lanes(self.dim_out) if self.lane_pad else self.dim_out
-        if self.lane_pad:
-            assert not self.pool_first and not self.separate_qkv, (
-                "TPU.LANE_PAD supports the fused-qkv flat-pool path only"
-            )
 
         def dense(feats, name, use_bias=None):
             return nn.Dense(
@@ -881,10 +795,6 @@ class MultiScaleAttention(nn.Module):
                 B, self.flat_pools_max_batch,
             )
 
-        assert not self.lane_pad or pad_to == self.dim_out or use_flat, (
-            "TPU.LANE_PAD requires the flat-pool layout (builders force "
-            "MVIT.FLAT_POOLS on and the batch gate off)"
-        )
         # Tokens-major [B, N, heads, C] layout end-to-end: head split,
         # pool grids, and the final merge are all pure reshapes; the only
         # data movement XLA must schedule is inside the attention einsums.
@@ -908,62 +818,49 @@ class MultiScaleAttention(nn.Module):
             q, k, v, (bias_k, bias_v) = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
                 use_bias=self.qkv_bias,
-                real_in=self.real_dim_in, pad_to=pad_to,
                 dtype=self.dtype, name="qkv",
             )(x, kv=kv_tokens, flat=use_flat)
         else:
             q, k, v = FusedQKVSplitDots(
                 dim_out=self.dim_out, num_heads=self.num_heads,
                 use_bias=self.qkv_bias,
-                real_in=self.real_dim_in, pad_to=pad_to,
                 dtype=self.dtype, name="qkv",
             )(x, flat=use_flat)
 
-        # Eval-graph 128-channel pad of the grouped conv (pre-dates
-        # TPU.LANE_PAD; harmless no-op when channels are already aligned).
-        pad_lanes_eval = deterministic and jax.default_backend() == "tpu"
+        # Lane padding is exact but only gradient-safe in eval graphs.
+        pad_lanes = deterministic and jax.default_backend() == "tpu"
         q, q_shape = AttentionPool(
             kernel=self.kernel_q, stride=self.stride_q, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes_eval,
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             flat=use_flat, heads=self.num_heads,
             flat_ln_vjp=self.flat_ln_vjp,
-            real_c=head_dim if pad_to != self.dim_out else 0,
             dtype=self.dtype, name="pool_q",
         )(q, thw_shape)
         k, k_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes_eval,
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             flat=use_flat, heads=self.num_heads,
             flat_ln_vjp=self.flat_ln_vjp,
-            real_c=head_dim if pad_to != self.dim_out else 0,
             dtype=self.dtype, name="pool_k",
         )(k, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_k)
         v, v_shape = AttentionPool(
             kernel=self.kernel_kv, stride=self.stride_kv, mode=self.mode,
-            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes_eval,
+            has_cls_embed=self.has_cls_embed, pad_lanes=pad_lanes,
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             flat=use_flat, heads=self.num_heads,
             flat_ln_vjp=self.flat_ln_vjp,
-            real_c=head_dim if pad_to != self.dim_out else 0,
             dtype=self.dtype, name="pool_v",
         )(v, thw_shape, sparse_grid=kv_grid, sparse_bias=bias_v)
         if use_flat:
             # One per-head unfold per tensor, at the einsum boundary.
-            # Under LANE_PAD the real channels sit head-major-contiguous
-            # before the zero lane tail, so slicing the tail recovers the
-            # exact unpadded flat layout; the attention core then runs at
-            # the REAL head_dim (no padded math anywhere downstream).
-            def unfold(t):
-                if pad_to != self.dim_out:
-                    t = jax.lax.slice_in_dim(t, 0, self.dim_out, axis=-1)
-                return t.reshape(B, t.shape[1], self.num_heads, head_dim)
-
-            q, k, v = unfold(q), unfold(k), unfold(v)
+            q = q.reshape(B, q.shape[1], self.num_heads, head_dim)
+            k = k.reshape(B, k.shape[1], self.num_heads, head_dim)
+            v = v.reshape(B, v.shape[1], self.num_heads, head_dim)
 
         if self.pool_first:
             def refold(t, t_shape, name):
@@ -1119,13 +1016,7 @@ class MultiScaleAttention(nn.Module):
                 x = x + q
 
         x = x.reshape(B, -1, self.dim_out)
-        if pad_to != self.dim_out:
-            x = PaddedDense(
-                features=self.dim_out, real_in=self.dim_out, pad_out=pad_to,
-                use_bias=True, dtype=self.dtype, name="proj",
-            )(x)
-        else:
-            x = dense(self.dim_out, "proj", use_bias=True)(x)
+        x = dense(self.dim_out, "proj", use_bias=True)(x)
         if self.drop_rate > 0.0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x, q_shape
@@ -1167,31 +1058,12 @@ class MultiScaleBlock(nn.Module):
     attn_q_chunk: int = 0
     attn_chunk_remat: bool = True
     norm_eps: float = 1e-6
-    lane_pad: bool = False  # TPU.LANE_PAD: 128-lane-pad stage channels
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, thw_shape, deterministic=True):
         att_dim = self.dim_out if self.dim_mul_in_att else self.dim
-        # TPU.LANE_PAD: physical channel widths are 128-lane multiples;
-        # self.dim/dim_out keep the reference (real) widths for all math
-        # semantics (softmax scale, LN statistics, MLP hidden width).
-        dim_p = pad_lanes(self.dim) if self.lane_pad else self.dim
-        att_p = pad_lanes(att_dim) if self.lane_pad else att_dim
-        out_p = pad_lanes(self.dim_out) if self.lane_pad else self.dim_out
-        assert x.shape[-1] == dim_p, (x.shape, dim_p)
-
-        def _norm(real_c, c_pad, name):
-            if c_pad != real_c:
-                return MaskedLayerNorm(
-                    real_c=real_c, epsilon=self.norm_eps, dtype=self.dtype,
-                    name=name,
-                )
-            return nn.LayerNorm(
-                epsilon=self.norm_eps, dtype=self.dtype, name=name
-            )
-
-        x_norm = _norm(self.dim, dim_p, "norm1")(x)
+        x_norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
         if _DIAG_SKIP_ATTN_BRANCH:
             # Price the whole attention module (qkv+pools+attn+proj) inside
             # the full step: zero branch of the correct pooled shape.
@@ -1206,12 +1078,10 @@ class MultiScaleBlock(nn.Module):
             n_new = int(np.prod(thw_shape_new)) + (
                 1 if self.has_cls_embed else 0
             )
-            x_block = jnp.zeros((B, n_new, att_p), self.dtype)
+            x_block = jnp.zeros((B, n_new, att_dim), self.dtype)
         else:
             x_block, thw_shape_new = MultiScaleAttention(
             dim_out=att_dim,
-            lane_pad=self.lane_pad,
-            real_dim_in=self.dim if dim_p != self.dim else 0,
             num_heads=self.num_heads,
             input_size=self.input_size,
             qkv_bias=self.qkv_bias,
@@ -1232,10 +1102,8 @@ class MultiScaleBlock(nn.Module):
             use_pallas_pools=self.use_pallas_pools,
             pool_impl=self.pool_impl,
             sparse_kv=self.sparse_kv,
-            flat_pools=self.flat_pools or self.lane_pad,
-            flat_pools_max_batch=(
-                0 if self.lane_pad else self.flat_pools_max_batch
-            ),
+            flat_pools=self.flat_pools,
+            flat_pools_max_batch=self.flat_pools_max_batch,
             flat_ln_vjp=self.flat_ln_vjp,
             attn_impl=self.attn_impl,
             attn_q_chunk=self.attn_q_chunk,
@@ -1250,22 +1118,14 @@ class MultiScaleBlock(nn.Module):
                 nn.initializers.constant(self.layer_scale_init_value),
                 (att_dim,),
             )
-            if att_p != att_dim:
-                gamma_1 = jnp.pad(gamma_1, (0, att_p - att_dim))
         else:
             gamma_1 = None
 
         if self.dim_mul_in_att and self.dim != self.dim_out:
-            if self.lane_pad:
-                x = PaddedDense(
-                    features=self.dim_out, real_in=self.dim, pad_out=out_p,
-                    dtype=self.dtype, name="proj",
-                )(x_norm)
-            else:
-                x = nn.Dense(
-                    self.dim_out, dtype=self.dtype,
-                    kernel_init=trunc_normal_init(0.02), name="proj",
-                )(x_norm)
+            x = nn.Dense(
+                self.dim_out, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name="proj",
+            )(x_norm)
 
         # Skip-path pooling (max) when Q is strided (`attention.py:499-505`).
         if len(self.stride_q) > 0 and np.prod(self.stride_q) > 1:
@@ -1299,28 +1159,20 @@ class MultiScaleBlock(nn.Module):
             return x, thw_shape_new
 
         mlp_hidden = int(att_dim * self.mlp_ratio)
-        x_norm = _norm(att_dim, att_p, "norm2")(x)
+        x_norm = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
         x_mlp = Mlp(
             hidden_features=mlp_hidden,
             out_features=self.dim_out,
             drop_rate=self.drop_rate,
-            real_in=att_dim if att_p != att_dim else 0,
-            pad_out=out_p if out_p != self.dim_out else 0,
             dtype=self.dtype,
             name="mlp",
         )(x_norm, deterministic=deterministic)
 
         if not self.dim_mul_in_att and self.dim != self.dim_out:
-            if self.lane_pad:
-                x = PaddedDense(
-                    features=self.dim_out, real_in=self.dim, pad_out=out_p,
-                    dtype=self.dtype, name="proj",
-                )(x_norm)
-            else:
-                x = nn.Dense(
-                    self.dim_out, dtype=self.dtype,
-                    kernel_init=trunc_normal_init(0.02), name="proj",
-                )(x_norm)
+            x = nn.Dense(
+                self.dim_out, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name="proj",
+            )(x_norm)
 
         if self.layer_scale_init_value > 0:
             gamma_2 = self.param(
@@ -1328,8 +1180,6 @@ class MultiScaleBlock(nn.Module):
                 nn.initializers.constant(self.layer_scale_init_value),
                 (self.dim_out,),
             )
-            if out_p != self.dim_out:
-                gamma_2 = jnp.pad(gamma_2, (0, out_p - self.dim_out))
             x_mlp = gamma_2 * x_mlp
         x = x + DropPath(self.drop_path, name="drop_path2")(
             x_mlp, deterministic=deterministic

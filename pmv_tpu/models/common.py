@@ -20,93 +20,6 @@ def trunc_normal_init(std=0.02):
     return init
 
 
-def pad_lanes(dim):
-    """Round a channel count up to a 128-lane multiple (TPU vreg width)."""
-    return -(-dim // 128) * 128
-
-
-class MaskedLayerNorm(nn.Module):
-    """LayerNorm on a lane-tail-padded tensor ([real_c channels | zeros]).
-
-    TPU.LANE_PAD keeps every PARAMETER at its reference shape (scale/bias
-    are (real_c,), checkpoint-identical) and pads only the activations:
-    statistics come from the static lane-slice ``x[..., :real_c]`` (same
-    values and reduce order as the unpadded model), and the affine is
-    applied with zero-padded scale/bias so pad lanes come out exactly
-    zero. Autodiff through the slice/pad sends no gradient to pad lanes.
-    Numerics mirror ``nn.LayerNorm`` (f32 E[x^2]-E[x]^2 fast variance)
-    with the affine in f32 and ONE rounding at the end (the FlatGroupLN
-    dtype convention; ~1 ulp vs nn.LayerNorm under bf16).
-    """
-
-    real_c: int
-    epsilon: float = 1e-6
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        c_pad = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (self.real_c,))
-        bias = self.param("bias", nn.initializers.zeros, (self.real_c,))
-        tail = c_pad - self.real_c
-        scale_p = jnp.pad(scale.astype(jnp.float32), (0, tail))
-        bias_p = jnp.pad(bias.astype(jnp.float32), (0, tail))
-        xr = jax.lax.slice_in_dim(x, 0, self.real_c, axis=-1)
-        xf = xr.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
-        inv = jax.lax.rsqrt(var + self.epsilon)
-        y = (x.astype(jnp.float32) - mean) * inv * scale_p + bias_p
-        return y.astype(self.dtype)
-
-
-class PaddedDense(nn.Module):
-    """Dense with reference-shaped params on lane-tail-padded tensors.
-
-    kernel is (real_in, features) and bias (features,) — byte-identical
-    to the unpadded ``nn.Dense`` param tree — zero-padded INSIDE the
-    graph to (pad_in, pad_out) so the dot runs at 128-lane-aligned
-    widths. Padded input lanes are zero by the LANE_PAD invariant, so
-    the zero kernel rows/cols make the result's real lanes exactly the
-    unpadded product and its pad lanes exactly zero.
-    """
-
-    features: int  # real output width
-    real_in: int  # real input width (x may carry a zero lane tail)
-    pad_out: int = 0  # padded output width (0 -> features, no padding)
-    use_bias: bool = True
-    kernel_init: Optional[Callable] = None
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        pad_out = self.pad_out or self.features
-        kernel = self.param(
-            "kernel",
-            self.kernel_init or trunc_normal_init(0.02),
-            (self.real_in, self.features),
-        )
-        bias = (
-            self.param("bias", nn.initializers.zeros, (self.features,))
-            if self.use_bias
-            else None
-        )
-        x, kernel, bias = nn.dtypes.promote_dtype(
-            x, kernel, bias, dtype=self.dtype
-        )
-        kernel = jnp.pad(
-            kernel,
-            (
-                (0, x.shape[-1] - self.real_in),
-                (0, pad_out - self.features),
-            ),
-        )
-        y = jnp.dot(x, kernel)
-        if bias is not None:
-            y = y + jnp.pad(bias, (0, pad_out - self.features))
-        return y
-
-
 class Mlp(nn.Module):
     """Transformer MLP (fc1 -> act -> drop -> fc2 -> drop).
 
@@ -121,43 +34,25 @@ class Mlp(nn.Module):
     out_features: int
     act_layer: Callable = nn.gelu
     drop_rate: float = 0.0
-    # TPU.LANE_PAD: fc1's input may carry a zero lane tail (real width
-    # real_in) and fc2's output widens to pad_out; params stay reference-
-    # shaped (PaddedDense). The hidden width is 4x a reference dim and is
-    # already 128-aligned in every MViT stage, so it never pads.
-    real_in: int = 0
-    pad_out: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        if self.real_in:
-            x = PaddedDense(
-                features=self.hidden_features, real_in=self.real_in,
-                dtype=self.dtype, name="fc1",
-            )(x)
-        else:
-            x = nn.Dense(
-                self.hidden_features,
-                dtype=self.dtype,
-                kernel_init=trunc_normal_init(0.02),
-                name="fc1",
-            )(x)
+        x = nn.Dense(
+            self.hidden_features,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init(0.02),
+            name="fc1",
+        )(x)
         x = self.act_layer(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
-        if self.pad_out:
-            x = PaddedDense(
-                features=self.out_features, real_in=self.hidden_features,
-                pad_out=self.pad_out, dtype=self.dtype, name="fc2",
-            )(x)
-        else:
-            x = nn.Dense(
-                self.out_features,
-                dtype=self.dtype,
-                kernel_init=trunc_normal_init(0.02),
-                name="fc2",
-            )(x)
+        x = nn.Dense(
+            self.out_features,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init(0.02),
+            name="fc2",
+        )(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x

@@ -25,12 +25,7 @@ import numpy as np
 
 from pmv_tpu.models.attention import MultiScaleBlock
 from pmv_tpu.models.build import MODEL_REGISTRY
-from pmv_tpu.models.common import (
-    MaskedLayerNorm,
-    pad_lanes,
-    round_width,
-    trunc_normal_init,
-)
+from pmv_tpu.models.common import round_width, trunc_normal_init
 from pmv_tpu.models.heads import TransformerBasicHead
 from pmv_tpu.models.stem import PatchEmbed
 from pmv_tpu.parallel.mesh import data_shard_count
@@ -192,14 +187,6 @@ class MViT(nn.Module):
         embed_dim = cfg.MVIT.EMBED_DIM
         cls_on = cfg.MVIT.CLS_EMBED_ON
         depth = cfg.MVIT.DEPTH
-        # TPU.LANE_PAD: run every stage at 128-lane-multiple channel widths
-        # (96 -> 128, 192 -> 256; 384/768 unchanged). Padded channels are
-        # exact zeros end to end (zero-tail params + masked LN stats), so
-        # the padded program computes the reference function; without it
-        # XLA picks N-minor layouts for the unaligned stage-1/2 tensors and
-        # pays ~5.7 GB/step of relayout copies (round-5 HLO ledger).
-        lane_pad = bool(cfg.TPU.LANE_PAD)
-        embed_dim_p = pad_lanes(embed_dim) if lane_pad else embed_dim
 
         x, thw = PatchEmbed(
             dim_out=embed_dim,
@@ -208,7 +195,6 @@ class MViT(nn.Module):
             padding=cfg.MVIT.PATCH_PADDING,
             conv_2d=cfg.MVIT.PATCH_2D,
             use_fold=cfg.TPU.FOLD_STEM,
-            pad_out=embed_dim_p if embed_dim_p != embed_dim else 0,
             dtype=self.dtype,
             name="patch_embed",
         )(x)
@@ -220,10 +206,6 @@ class MViT(nn.Module):
             sincos = get_3d_sincos_pos_embed(
                 embed_dim, patch_dims[1], patch_dims[0], cls_token=cls_on
             )
-            if embed_dim_p != embed_dim:
-                sincos = np.pad(
-                    sincos, ((0, 0), (0, embed_dim_p - embed_dim))
-                )
             pos_fixed = jnp.asarray(sincos, self.dtype)[None]
             x = x + pos_fixed[:, s:, :]
 
@@ -231,12 +213,8 @@ class MViT(nn.Module):
             cls_token = self.param(
                 "cls_token", trunc_normal_init(0.02), (1, 1, embed_dim)
             )
-            if embed_dim_p != embed_dim:
-                cls_token = jnp.pad(
-                    cls_token, ((0, 0), (0, 0), (0, embed_dim_p - embed_dim))
-                )
             cls_tokens = jnp.broadcast_to(
-                cls_token.astype(x.dtype), (B, 1, embed_dim_p)
+                cls_token.astype(x.dtype), (B, 1, embed_dim)
             )
             if cfg.MVIT.USE_FIXED_SINCOS_POS:
                 cls_tokens = cls_tokens + pos_fixed[:, :s, :]
@@ -268,28 +246,15 @@ class MViT(nn.Module):
                     "pos_embed", trunc_normal_init(0.02),
                     (1, num_patches + s, embed_dim),
                 )
-            pos = self._interp_pos_embed(
+            x = x + self._interp_pos_embed(
                 pos_embed, patch_dims, (T, H, W), cls_on
-            )
-            if embed_dim_p != embed_dim:
-                pos = jnp.pad(
-                    pos, ((0, 0), (0, 0), (0, embed_dim_p - embed_dim))
-                )
-            x = x + pos.astype(x.dtype)
+            ).astype(x.dtype)
 
         if cfg.MVIT.DROPOUT_RATE > 0.0:
             x = nn.Dropout(cfg.MVIT.DROPOUT_RATE)(x, deterministic=not train)
 
         if cfg.MVIT.NORM_STEM:
-            if embed_dim_p != embed_dim:
-                x = MaskedLayerNorm(
-                    real_c=embed_dim, epsilon=1e-6, dtype=self.dtype,
-                    name="norm_stem",
-                )(x)
-            else:
-                x = nn.LayerNorm(
-                    epsilon=1e-6, dtype=self.dtype, name="norm_stem"
-                )(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_stem")(x)
 
         schedule = _compute_mvit_schedule(cfg)
         dpr = [
@@ -355,7 +320,6 @@ class MViT(nn.Module):
                 attn_impl=cfg.MVIT.ATTN_IMPL,
                 attn_q_chunk=cfg.TPU.ATTN_Q_CHUNK,
                 attn_chunk_remat=cfg.TPU.ATTN_CHUNK_REMAT,
-                lane_pad=lane_pad,
                 dtype=self.dtype,
                 name=f"blocks.{i}",
             )
@@ -380,10 +344,6 @@ class MViT(nn.Module):
                     for size, stride in zip(input_size, spec["stride_q"])
                 ]
 
-        if lane_pad:
-            dim_final = schedule[-1]["dim_out"]
-            if x.shape[-1] != dim_final:
-                x = x[..., :dim_final]
         x = self.perturb("features", x)  # Grad-CAM tap (visualization)
         if return_features:
             return x, thw

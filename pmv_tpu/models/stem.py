@@ -99,16 +99,10 @@ class PatchEmbed(nn.Module):
     padding: Sequence[int]
     conv_2d: bool = False
     use_fold: bool = False
-    # TPU.LANE_PAD: widen the token channels to pad_out with a zero lane
-    # tail. Params stay at the reference dim_out; the fold path pads the
-    # projection weights inside the graph (tokens are BORN padded, no
-    # activation copy), the nn.Conv paths pad the conv output.
-    pad_out: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        pad_out = self.pad_out or self.dim_out
         if (
             self.use_fold
             and not self.conv_2d
@@ -125,15 +119,7 @@ class PatchEmbed(nn.Module):
                 tuple(self.padding), self.dtype,
             )
             thw = (x.shape[1], x.shape[2], x.shape[3])
-            x = x.reshape(x.shape[0], -1, self.dim_out)
-            if pad_out != self.dim_out:
-                # One stem-output lane pad (~tens of MB at bs8); padding
-                # the conv KERNEL instead crashes the TPU compile helper's
-                # conv-gradient path (tools/min_lanepad_crash.py).
-                x = jnp.pad(
-                    x, ((0, 0), (0, 0), (0, pad_out - self.dim_out))
-                )
-            return x, thw
+            return x.reshape(x.shape[0], -1, self.dim_out), thw
         if self.conv_2d:
             # Per-frame 2D conv: fold T into batch.
             b, t, h, w, c = x.shape
@@ -153,9 +139,7 @@ class PatchEmbed(nn.Module):
                 kernel_init=trunc_normal_init(0.02), name="proj",
             )(x)
         thw = (x.shape[1], x.shape[2], x.shape[3])
-        if pad_out != self.dim_out:
-            x = jnp.pad(x, ((0, 0),) * 4 + ((0, pad_out - self.dim_out),))
-        return x.reshape(x.shape[0], -1, pad_out), thw
+        return x.reshape(x.shape[0], -1, self.dim_out), thw
 
 
 class ResNetBasicStem(nn.Module):

@@ -82,54 +82,6 @@ VARIANTS = {
     # the cost of the cls split/concat copies around every pool.
     "diag_no_cls": lambda c: _set(c, [("MVIT.CLS_EMBED_ON", False)]),
     "bs4": lambda c: c,
-    # DIAGNOSTIC (round 5, not parity): lane-aligned stage dims 128/256/
-    # 384/768 instead of 96/192/384/768. The bs8 HLO shows XLA choosing
-    # N-minor layouts for every stage-1/2 tensor (C=96/192 wastes 128-lane
-    # vregs) and paying ~5.7 GB of relayout copies at the conv/dot
-    # boundaries, 2.9 GB at block 1 alone. This prices the layout regime:
-    # +33% stage-1/2 dot FLOPs vs the copies gone. Measured: 92.82 vs
-    # 85.6 base — the genuinely-bigger model costs more than the copies.
-    "diag_embed128": lambda c: _set(
-        c, [("MVIT.EMBED_DIM", 128),
-            ("MVIT.DIM_MUL", [[1, 2.0], [3, 1.5], [14, 2.0]])]
-    ),
-    # Exact lane padding (round 5): zero-tail-padded ACTIVATIONS at
-    # 128-lane widths, reference-shaped params, real-width attention
-    # core — the production candidate the diagnostic above priced.
-    "lane_pad": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
-    "eval_lane_pad": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
-    "lane_pad_bs32": lambda c: _set(c, [("TPU.LANE_PAD", True)]),
-    "lane_pad_novjp": lambda c: _set(
-        c, [("TPU.LANE_PAD", True), ("TPU.FLAT_LN_VJP", False)]
-    ),
-    "lane_pad_nochunk": lambda c: _set(
-        c, [("TPU.LANE_PAD", True), ("TPU.ATTN_Q_CHUNK", 0)]
-    ),
-    # Crash minimization for the lane_pad train-compile HTTP-500:
-    "lane_pad_poolslice": lambda c: _set(
-        c, [("TPU.LANE_PAD", True), ("MVIT.POOL_CONV_IMPL", "slice")]
-    ),
-    "lane_pad_nosparse": lambda c: _set(
-        c, [("TPU.LANE_PAD", True), ("MVIT.SPARSE_KV_POOL", False)]
-    ),
-    "lane_pad_d4": lambda c: _set(
-        c, [("TPU.LANE_PAD", True), ("MVIT.DEPTH", 4),
-            ("MVIT.DIM_MUL", [[1, 2.0], [3, 2.0]]),
-            ("MVIT.HEAD_MUL", [[1, 2.0], [3, 2.0]]),
-            ("MVIT.POOL_Q_STRIDE",
-             [[0, 1, 1, 1], [1, 1, 2, 2], [2, 1, 1, 1], [3, 1, 2, 2]])]
-    ),
-    "lane_pad_d1": lambda c: _set(  # no pool convs / no skip max-pool
-        c, [("TPU.LANE_PAD", True), ("MVIT.DEPTH", 1),
-            ("MVIT.DIM_MUL", []), ("MVIT.HEAD_MUL", []),
-            ("MVIT.POOL_Q_STRIDE", [[0, 1, 1, 1]])]
-    ),
-    "lane_pad_max": lambda c: _set(
-        c, [("TPU.LANE_PAD", True), ("MVIT.MODE", "max")]
-    ),
-    "lane_pad_noln": lambda c: _set(  # conv pools, pool-LN skipped (diag)
-        c, [("TPU.LANE_PAD", True)]
-    ),
     "per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
     "eval_per_head": lambda c: _set(c, [("MVIT.ATTN_IMPL", "per_head")]),
     "eval_diag_attn_ident": lambda c: c,
@@ -240,7 +192,6 @@ def time_variant(name):
     from pmv_tpu.models import build_model
     from pmv_tpu.parallel import mesh as mesh_lib
 
-    attn_mod._DIAG_SKIP_POOL_LN = name == "lane_pad_noln"
     attn_mod._DIAG_ATTENTION_IDENTITY = name.endswith("diag_attn_ident")
     attn_mod._DIAG_SKIP_MLP = name == "diag_skip_mlp"
     attn_mod._DIAG_SKIP_ATTN_BRANCH = name == "diag_skip_attn_branch"
@@ -253,7 +204,7 @@ def time_variant(name):
         "chunk1k_bs32": 32, "chunk2k_bs32": 32,
         "chunk1k_bs64": 64, "chunk2k_bs64": 64,
         "chunk512_bs64": 64, "chunk512_bs48": 48,
-        "noflat_bs32": 32, "lane_pad_bs32": 32,
+        "noflat_bs32": 32,
         "flat_bs32": 32, "flat_bs32_d4": 32, "flat_bs32_d2": 32,
         "flat_bs32_d1": 32, "flat_bs32_norel": 32, "flat_bs32_nochunk": 32,
         "flat_bs32_noaug": 32, "flat_bs32_nosparse": 32,

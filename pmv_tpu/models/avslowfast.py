@@ -334,12 +334,14 @@ class AVSlowFast(nn.Module):
         x_s = ResNetBasicStem(
             dim_out=width, kernel=(tk[0][0][0], 7, 7), stride=(1, 2, 2),
             padding=(tk[0][0][0] // 2, 3, 3), dtype=self.dtype,
+            use_fold=cfg.TPU.FOLD_STEM,
             name="s1.pathway0_stem",
         )(x_s, train=train)
         x_f = ResNetBasicStem(
             dim_out=width // beta, kernel=(tk[0][1][0], 7, 7),
             stride=(1, 2, 2), padding=(tk[0][1][0] // 2, 3, 3),
-            dtype=self.dtype, name="s1.pathway1_stem",
+            dtype=self.dtype, use_fold=cfg.TPU.FOLD_STEM,
+            name="s1.pathway1_stem",
         )(x_f, train=train)
         audio_stem = AudioStem(
             dim_out=width // beta, norm=norm, dtype=self.dtype,

@@ -83,6 +83,7 @@ class ResNetModel(nn.Module):
             stride=(1, 2, 2),
             padding=(tk[0][0] // 2, 3, 3),
             dtype=self.dtype,
+            use_fold=cfg.TPU.FOLD_STEM,
             name="s1.pathway0_stem",
         )(x, train=train)
 
@@ -193,11 +194,13 @@ class SlowFast(nn.Module):
         x_s = ResNetBasicStem(
             dim_out=width, kernel=(tk[0][0][0], 7, 7), stride=(1, 2, 2),
             padding=(tk[0][0][0] // 2, 3, 3), dtype=self.dtype,
+            use_fold=cfg.TPU.FOLD_STEM,
             name="s1.pathway0_stem",
         )(x_s, train=train)
         x_f = ResNetBasicStem(
             dim_out=width // beta, kernel=(tk[0][1][0], 7, 7), stride=(1, 2, 2),
             padding=(tk[0][1][0] // 2, 3, 3), dtype=self.dtype,
+            use_fold=cfg.TPU.FOLD_STEM,
             name="s1.pathway1_stem",
         )(x_f, train=train)
         x_s, x_f = FuseFastToSlow(

@@ -10,17 +10,23 @@ import numpy as np
 from pmv_tpu.models.common import trunc_normal_init
 
 
+def _fold_cells(k, s, p):
+    """Folded cells a k-wide stride-s pad-p window touches per axis:
+    [cell_lo, cell_hi] relative to the output's own cell."""
+    cell_lo = -(-(p) // s)  # ceil(p/s); window starts at -p
+    cell_hi = (k - 1 - p) // s
+    return -cell_lo, cell_hi
+
+
 def _fold_applies(kernel, stride, padding):
-    """Spatial fold needs each output window to span <=2 folded cells per
-    spatial axis: kernel <= stride + padding and padding <= stride."""
-    return all(
-        k <= s + p and p <= s
-        for k, s, p in zip(kernel[1:], stride[1:], padding[1:])
-    ) and stride[1] > 1 and stride[2] > 1
+    """The spatial fold applies to any strided conv (the cell embedding
+    generalizes to arbitrary window extents); gate on an actual spatial
+    stride so unstrided convs keep the direct lowering."""
+    return stride[1] > 1 and stride[2] > 1
 
 
 def _fold_patch_conv(x, w, b, kernel, stride, padding, dtype):
-    """Patch-embed conv with the spatial stride blocks folded into input
+    """Strided conv with the spatial stride blocks folded into input
     channels: [B,T,H,W,3] -> [B,T,H/sh,W/sw,sh*sw*3], kernel re-embedded
     to [kt, ch, cw, sh*sw*3, D] (zeros at never-read taps).
 
@@ -31,8 +37,12 @@ def _fold_patch_conv(x, w, b, kernel, stride, padding, dtype):
     the conv is a well-tiled dense contraction. Exact same math and the
     SAME param tree: the fold of the weights happens at trace time, and
     autodiff through the embedding routes gradients back to the original
-    [kt,kh,kw,3,D] parameter. Reference semantics:
-    `MViT/slowfast/models/stem_helper.py` PatchEmbed.
+    [kt,kh,kw,3,D] parameter. Windows may span any number of folded
+    cells: each original tap (kh', kw') lands at exactly one
+    (cell, in-cell position); the extra left/right zero cells coincide
+    with the original SAME padding (taps beyond it do not exist in the
+    embedded kernel). Reference semantics:
+    `MViT/slowfast/models/stem_helper.py` PatchEmbed/ResNetBasicStem.
     """
     bsz, t, h, wd, c = x.shape
     (kt, kh, kw), (st, sh, sw), (pt, ph, pw) = kernel, stride, padding
@@ -42,21 +52,16 @@ def _fold_patch_conv(x, w, b, kernel, stride, padding, dtype):
     hf, wf = h // sh, wd // sw
     xf = x.reshape(bsz, t, hf, sh, wf, sw, c)
     xf = xf.transpose(0, 1, 2, 4, 3, 5, 6).reshape(bsz, t, hf, wf, sh * sw * c)
-    # Cells each window touches per axis: {0} if kernel <= stride (after
-    # left-padding `pad` rows inside cell -1), else {-1, 0} -> 2 cells.
-    ch_n = 1 if kh + ph <= sh else 2
-    cw_n = 1 if kw + pw <= sw else 2
-    # Embed the weights: original tap (kh') sits at folded cell
-    # (kh' - ph + sh) // sh - (1 if 2 cells else 0) ... compute directly:
-    # input row = sh*oh + kh' - ph; cell = row//sh - oh + (ch_n - 1),
-    # pos = row % sh (row >= -ph > -sh, so add sh before the mod/div).
+    lo_h, hi_h = _fold_cells(kh, sh, ph)
+    lo_w, hi_w = _fold_cells(kw, sw, pw)
+    ch_n, cw_n = hi_h - lo_h + 1, hi_w - lo_w + 1
     wz = jnp.zeros((kt, ch_n, sh, cw_n, sw, c, dim_out), w.dtype)
     for khi in range(kh):
-        row = khi - ph + sh  # shifted positive
-        cell_h, pos_h = row // sh - 1 + (ch_n - 1), row % sh
+        row = khi - ph
+        cell_h, pos_h = row // sh - lo_h, row % sh
         for kwi in range(kw):
-            col = kwi - pw + sw
-            cell_w, pos_w = col // sw - 1 + (cw_n - 1), col % sw
+            col = kwi - pw
+            cell_w, pos_w = col // sw - lo_w, col % sw
             wz = wz.at[:, cell_h, pos_h, cell_w, pos_w].set(w[:, khi, kwi])
     wz = wz.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
         kt, ch_n, cw_n, sh * sw * c, dim_out
@@ -64,10 +69,57 @@ def _fold_patch_conv(x, w, b, kernel, stride, padding, dtype):
     y = jax.lax.conv_general_dilated(
         xf.astype(dtype), wz.astype(dtype),
         window_strides=(st, 1, 1),
-        padding=((pt, pt), (ch_n - 1, 0), (cw_n - 1, 0)),
+        padding=((pt, pt), (-lo_h, hi_h), (-lo_w, hi_w)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
     return y + b.astype(dtype)
+
+
+def _fold_out_factor(dim_out, h, wd, stride):
+    """Largest f in (4, 2) such that an f x f block of output positions
+    folded into channels stays within ~128 lanes and divides the grid."""
+    sh, sw = stride[1], stride[2]
+    for f in (4, 2):
+        if (
+            dim_out * f * f <= 128
+            and h % (sh * f) == 0
+            and wd % (sw * f) == 0
+        ):
+            return f
+    return 1
+
+
+def _fold_out_conv(x, w, kernel, stride, padding, f, dtype):
+    """Strided conv computed with an f x f block of OUTPUT positions
+    folded into channels (then unfolded): the fast-pathway SlowFast stem
+    writes 8 output channels, and XLA's lowering of that conv runs at
+    ~0.1 TF/s (43.4 ms fwd + 13.5 ms bwd of a 152 ms step,
+    tools/profile_step.py round 5) because 8 lanes of a 128-lane vreg do
+    the work. Folding 4x4 output positions makes it a 128-output-channel
+    dense contraction on the same bytes. Exact same math and param tree:
+    the big kernel embeds the original taps once per block position at
+    trace time, and the output unfold is a reshape/transpose.
+    """
+    kt, kh, kw = kernel
+    st, sh, sw = stride
+    pt, ph, pw = padding
+    c, dim_out = w.shape[-2], w.shape[-1]
+    kh_b, kw_b = kh + (f - 1) * sh, kw + (f - 1) * sw
+    w_big = jnp.zeros((kt, kh_b, kw_b, c, f * f * dim_out), w.dtype)
+    for i in range(f):
+        for j in range(f):
+            blk = (i * f + j) * dim_out
+            w_big = jax.lax.dynamic_update_slice(
+                w_big, w, (0, i * sh, j * sw, 0, blk)
+            )
+    y = _fold_patch_conv(
+        x, w_big, jnp.zeros((f * f * dim_out,), w.dtype),
+        (kt, kh_b, kw_b), (st, sh * f, sw * f), (pt, ph, pw), dtype,
+    )
+    bsz, t, hb, wb, _ = y.shape
+    y = y.reshape(bsz, t, hb, wb, f, f, dim_out)
+    y = y.transpose(0, 1, 2, 4, 3, 5, 6)
+    return y.reshape(bsz, t, hb * f, wb * f, dim_out)
 
 
 class _ProjParams(nn.Module):
@@ -142,8 +194,31 @@ class PatchEmbed(nn.Module):
         return x.reshape(x.shape[0], -1, self.dim_out), thw
 
 
+class _StemConvParams(nn.Module):
+    """Bias-free conv kernel with nn.Conv's param name/shape/init."""
+
+    dim_out: int
+    kernel: Sequence[int]
+    c_in: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            tuple(self.kernel) + (self.c_in, self.dim_out),
+        )
+
+
 class ResNetBasicStem(nn.Module):
-    """Conv + BN + ReLU + maxpool stem (`stem_helper.py` ResNetBasicStem)."""
+    """Conv + BN + ReLU + maxpool stem (`stem_helper.py` ResNetBasicStem).
+
+    With ``use_fold`` (TPU.FOLD_STEM) the strided stem conv runs with the
+    input stride blocks folded into channels and — for narrow outputs
+    like the SlowFast fast pathway's 8 channels — an f x f block of
+    output positions folded into channels (see _fold_out_conv): measured
+    43.4 ms fwd + 13.5 ms bwd for the fast stem's direct lowering on v5e
+    (round-5 profile). Exact same math and param tree.
+    """
 
     dim_out: int
     kernel: Sequence[int]
@@ -151,15 +226,42 @@ class ResNetBasicStem(nn.Module):
     padding: Sequence[int]
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    use_fold: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=True):
         pad = [(p, p) for p in self.padding]
-        x = nn.Conv(
-            self.dim_out, tuple(self.kernel), tuple(self.stride), padding=pad,
-            use_bias=False, dtype=self.dtype, name="conv",
-        )(x)
+        if (
+            self.use_fold
+            and len(self.kernel) == 3
+            and _fold_applies(self.kernel, self.stride, self.padding)
+            and x.shape[2] % self.stride[1] == 0
+            and x.shape[3] % self.stride[2] == 0
+        ):
+            w = _StemConvParams(
+                self.dim_out, tuple(self.kernel), x.shape[-1], name="conv"
+            )()
+            f = _fold_out_factor(
+                self.dim_out, x.shape[2], x.shape[3], self.stride
+            )
+            if f > 1:
+                x = _fold_out_conv(
+                    x, w, tuple(self.kernel), tuple(self.stride),
+                    tuple(self.padding), f, self.dtype,
+                )
+            else:
+                x = _fold_patch_conv(
+                    x, w, jnp.zeros((self.dim_out,), w.dtype),
+                    tuple(self.kernel), tuple(self.stride),
+                    tuple(self.padding), self.dtype,
+                )
+        else:
+            x = nn.Conv(
+                self.dim_out, tuple(self.kernel), tuple(self.stride),
+                padding=pad,
+                use_bias=False, dtype=self.dtype, name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=self.bn_momentum,
             epsilon=self.bn_eps, dtype=self.dtype, name="bn",

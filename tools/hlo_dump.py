@@ -32,6 +32,10 @@ def main():
     # The exact bench.py program (VERDICT r4 missing #2: attribution must
     # be of the CURRENT recipe, not the round-2 one).
     cfg = apply_bench_recipe(_mvitv2_s_cfg(tiny=False))
+    if "flat" in sys.argv[3:]:
+        # Keep FLAT_POOLS on above the batch gate (the measured-faster
+        # config at bs32; the gate predates the fixed compile server).
+        cfg.MVIT.FLAT_POOLS_MAX_BATCH = 0
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     rng_np = np.random.default_rng(0)
@@ -63,7 +67,7 @@ def main():
 
     compiled = lowered.compile()
     os.makedirs("/tmp/mvit_hlo", exist_ok=True)
-    out_path = f"/tmp/mvit_hlo/{which}_bs{batch_size}.txt"
+    out_path = f"/tmp/mvit_hlo/{which}_bs{batch_size}{'_flat' if 'flat' in sys.argv[3:] else ''}.txt"
     try:
         txt = compiled.as_text()
         with open(out_path, "w") as f:

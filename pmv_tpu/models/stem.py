@@ -280,7 +280,10 @@ class ResNetBasicStem(nn.Module):
 
 class X3DStem(nn.Module):
     """Channel-separated stem: 1xkxk spatial conv then kx1x1 depthwise
-    temporal conv (`stem_helper.py` X3DStem)."""
+    temporal conv (`stem_helper.py` X3DStem). ``use_fold`` applies the
+    input + output-position fold to the spatial conv (3 -> 24 channels
+    leaves most vreg lanes idle in the direct lowering; see
+    ResNetBasicStem)."""
 
     dim_out: int
     kernel: Sequence[int]
@@ -288,18 +291,40 @@ class X3DStem(nn.Module):
     padding: Sequence[int]
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    use_fold: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=True):
-        x = nn.Conv(
-            self.dim_out,
-            (1, self.kernel[1], self.kernel[2]),
-            (1, self.stride[1], self.stride[2]),
-            padding=[(0, 0), (self.padding[1], self.padding[1]),
-                     (self.padding[2], self.padding[2])],
-            use_bias=False, dtype=self.dtype, name="conv_xy",
-        )(x)
+        k_xy = (1, self.kernel[1], self.kernel[2])
+        s_xy = (1, self.stride[1], self.stride[2])
+        p_xy = (0, self.padding[1], self.padding[2])
+        if (
+            self.use_fold
+            and _fold_applies(k_xy, s_xy, p_xy)
+            and x.shape[2] % self.stride[1] == 0
+            and x.shape[3] % self.stride[2] == 0
+        ):
+            w = _StemConvParams(
+                self.dim_out, k_xy, x.shape[-1], name="conv_xy"
+            )()
+            f = _fold_out_factor(self.dim_out, x.shape[2], x.shape[3], s_xy)
+            if f > 1:
+                x = _fold_out_conv(x, w, k_xy, s_xy, p_xy, f, self.dtype)
+            else:
+                x = _fold_patch_conv(
+                    x, w, jnp.zeros((self.dim_out,), w.dtype),
+                    k_xy, s_xy, p_xy, self.dtype,
+                )
+        else:
+            x = nn.Conv(
+                self.dim_out,
+                k_xy,
+                s_xy,
+                padding=[(0, 0), (self.padding[1], self.padding[1]),
+                         (self.padding[2], self.padding[2])],
+                use_bias=False, dtype=self.dtype, name="conv_xy",
+            )(x)
         x = nn.Conv(
             self.dim_out,
             (self.kernel[0], 1, 1),

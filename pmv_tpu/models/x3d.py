@@ -65,6 +65,7 @@ class X3D(nn.Module):
             kernel=(5, 3, 3),
             stride=(1, 2, 2),
             padding=(2, 1, 1),
+            use_fold=cfg.TPU.FOLD_STEM,
             dtype=self.dtype,
             name="s1.pathway0_stem",
         )(x, train=train)

@@ -96,3 +96,28 @@ def test_resnet_stem_fold_matches_plain():
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-4
     )
+
+
+def test_x3d_stem_fold_matches_plain():
+    from pmv_tpu.models.stem import X3DStem
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 4, 32, 32, 3)), jnp.float32)
+    plain = X3DStem(
+        dim_out=24, kernel=(5, 3, 3), stride=(1, 2, 2), padding=(2, 1, 1),
+        use_fold=False,
+    )
+    folded = X3DStem(
+        dim_out=24, kernel=(5, 3, 3), stride=(1, 2, 2), padding=(2, 1, 1),
+        use_fold=True,
+    )
+    v = plain.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = folded.init(jax.random.PRNGKey(0), x, train=False)
+    for a, b in zip(jax.tree_util.tree_leaves(v),
+                    jax.tree_util.tree_leaves(v2)):
+        assert a.shape == b.shape
+    y0 = plain.apply(v, x, train=False)
+    y1 = folded.apply(v, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-4
+    )

@@ -251,12 +251,15 @@ class SplitSABlock(nn.Module):
 
 class UniPatchEmbed(nn.Module):
     """Stage patch embed: strided conv + LayerNorm on tokens
-    (`uniformer.py:206-260`)."""
+    (`uniformer.py:206-260`). ``use_fold`` (TPU.FOLD_STEM) folds the
+    stage-1 3-input-channel conv's spatial stride blocks into channels
+    (same pathology and fix as the MViT patch stem; see stem.py)."""
 
     dim_out: int
     patch_size: int
     special: bool = False  # first stage: (3,n,n) kernel, stride (2,n,n)
     std: bool = False
+    use_fold: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -268,10 +271,28 @@ class UniPatchEmbed(nn.Module):
             kernel, stride, pad = (3, n, n), (1, n, n), [(1, 1), (0, 0), (0, 0)]
         else:
             kernel, stride, pad = (1, n, n), (1, n, n), [(0, 0), (0, 0), (0, 0)]
-        x = nn.Conv(
-            self.dim_out, kernel, stride, padding=pad, dtype=self.dtype,
-            kernel_init=trunc_normal_init(0.02), name="proj",
-        )(x)
+        if (
+            self.use_fold
+            and x.shape[-1] <= 4
+            and stride[1] > 1
+            and stride[2] > 1
+            and x.shape[2] % stride[1] == 0
+            and x.shape[3] % stride[2] == 0
+        ):
+            from pmv_tpu.models.stem import _ProjParams, _fold_patch_conv
+
+            w, b = _ProjParams(
+                self.dim_out, kernel, x.shape[-1], name="proj"
+            )()
+            x = _fold_patch_conv(
+                x, w, b, kernel, stride, tuple(p[0] for p in pad),
+                self.dtype,
+            )
+        else:
+            x = nn.Conv(
+                self.dim_out, kernel, stride, padding=pad, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name="proj",
+            )(x)
         B, T, H, W, C = x.shape
         tok = x.reshape(B, T * H * W, C)
         tok = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tok)
@@ -312,6 +333,7 @@ class Uniformer(nn.Module):
         x = UniPatchEmbed(
             dim_out=embed_dim[0], patch_size=patch1,
             special=not cfg.UNIFORMER.FRAME_BASE,
+            use_fold=cfg.TPU.FOLD_STEM,
             dtype=self.dtype, name="patch_embed1",
         )(x)
         if drop_rate > 0:

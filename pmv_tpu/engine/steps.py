@@ -411,7 +411,13 @@ def init_state(cfg, model, example_batch, rng, tx=None):
     """
     frames = example_batch["frames"]
     x = frames.astype(jnp.float32)
-    inputs = pack_pathways(cfg, x, audio=example_batch.get("audio"))
+    # audio_mis must reach init for AVSlowFast: the AVS projection params
+    # only exist when the misaligned-audio input is present
+    # (`video_model_builder.py:879-996` avs branch).
+    inputs = pack_pathways(
+        cfg, x, audio=example_batch.get("audio"),
+        audio_mis=example_batch.get("audio_mis"),
+    )
     if len(inputs) == 1:
         inputs = inputs[0]
     kwargs = {}

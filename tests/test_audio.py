@@ -211,3 +211,51 @@ def test_preprocess_bgr_order():
 # selection (pyproject addopts -m 'not slow'); run with -m slow or
 # -m "slow or not slow" for the full suite.
 pytestmark = pytest.mark.slow
+
+
+def test_avslowfast_engine_init_with_misaligned_audio():
+    """init_state must create the AVS params when the batch carries
+    audio_mis (GET_MISALIGNED_AUDIO recipes train through the engine);
+    round-5 regression — the engine previously dropped audio_mis at init
+    and the train step crashed on the missing avs/ref_fc params."""
+    import numpy as np
+
+    from pmv_tpu.engine import steps
+    from pmv_tpu.parallel import mesh as mesh_lib
+
+    cfg = get_cfg()
+    cfg.MODEL.MODEL_NAME = "AVSlowFast"
+    cfg.MODEL.ARCH = "avslowfast"
+    cfg.MODEL.NUM_CLASSES = 5
+    cfg.RESNET.DEPTH = 18
+    cfg.RESNET.WIDTH_PER_GROUP = 8
+    cfg.SLOWFAST.ALPHA = 4
+    cfg.SLOWFAST.BETA_INV = 8
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.USE_AUDIO = True
+    cfg.DATA.GET_MISALIGNED_AUDIO = True
+    cfg.DATA.AUDIO_FRAME_NUM = 64
+    cfg.DATA.AUDIO_MEL_NUM = 16
+    from pmv_tpu.models import build_model
+
+    model = build_model(cfg, dtype=jnp.float32)
+    rng_np = np.random.default_rng(0)
+    bs = jax.device_count()  # data-sharded batch must divide the mesh
+    batch = {
+        "frames": jnp.asarray(rng_np.integers(
+            0, 255, (bs, 8, 32, 32, 3), dtype=np.uint8)),
+        "labels": jnp.asarray(rng_np.integers(0, 5, (bs,))),
+        "audio": jnp.asarray(
+            rng_np.standard_normal((bs, 64, 16)), jnp.float32),
+        "audio_mis": jnp.asarray(
+            rng_np.standard_normal((bs, 64, 16)), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+    state, tx = steps.init_state(cfg, model, batch, rng)
+    mesh = mesh_lib.create_mesh()
+    state = mesh_lib.replicate(state, mesh)
+    db = mesh_lib.shard_batch(batch, mesh)
+    step = jax.jit(steps.make_train_step(cfg, model, tx))
+    state2, metrics = step(state, db, rng, 1e-4)
+    assert np.isfinite(float(metrics["loss"]))

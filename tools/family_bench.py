@@ -238,8 +238,43 @@ def time_detection(name="ava_slow_detection"):
     _report(name, batch, dt, n)
 
 
+def time_avslowfast(name="avslowfast_8x8"):
+    """AVSlowFast 8x8-R50 train step (audio-visual, AVS loss + misaligned
+    audio per the reference recipe); recipe bs 64/8GPU -> 8/chip."""
+    from pmv_tpu.engine import steps
+    from pmv_tpu.models import build_model
+    from pmv_tpu.parallel import mesh as mesh_lib
+    from pmv_tpu.utils import misc
+
+    cfg = family_cfg("Kinetics/AVSLOWFAST_8x8_R50.yaml", False)
+    batch = 8
+    model = build_model(cfg)
+    rng = misc.root_key(cfg)
+    rng_np = np.random.default_rng(0)
+    s = cfg.DATA.TRAIN_CROP_SIZE
+    frames = jnp.asarray(rng_np.integers(
+        0, 255, (batch, cfg.DATA.NUM_FRAMES, s, s, 3), dtype=np.uint8))
+    audio_shape = (batch, cfg.DATA.AUDIO_FRAME_NUM, cfg.DATA.AUDIO_MEL_NUM)
+    audio = jnp.asarray(
+        rng_np.standard_normal(audio_shape), jnp.float32)
+    audio_mis = jnp.asarray(
+        rng_np.standard_normal(audio_shape), jnp.float32)
+    labels = jnp.asarray(rng_np.integers(
+        0, cfg.MODEL.NUM_CLASSES, (batch,), dtype=np.int64))
+    b = {"frames": frames, "labels": labels, "audio": audio,
+         "audio_mis": audio_mis}
+    mesh = mesh_lib.create_mesh()
+    state, tx = steps.init_state(cfg, model, b, rng)
+    state = mesh_lib.replicate(state, mesh)
+    db = mesh_lib.shard_batch(b, mesh)
+    step = jax.jit(steps.make_train_step(cfg, model, tx))
+    dt, n = _time_loop(step, state, (db, rng, 1e-4))
+    _report(name, batch, dt, n)
+
+
 SPECIAL = {
     "contrastive_moco": time_contrastive,
+    "avslowfast_8x8": time_avslowfast,
     "maskmvit_pt": time_masked,
     "ava_slow_detection": time_detection,
 }

@@ -160,8 +160,26 @@ class SeparatedConvNet(nn.Module):
             temporal_strides = (1, 1, 2, 2)
             transform = R2Plus1dTransform
 
-        x = _conv(width, stem_kernel, (1, 2, 2), stem_pad,
-                  name="s1.stem_conv", dtype=self.dtype)(x)
+        if (
+            cfg.TPU.FOLD_STEM
+            and x.shape[2] % 2 == 0
+            and x.shape[3] % 2 == 0
+        ):
+            # 3-input-channel stem conv: folded lowering (see stem.py;
+            # same pathology/fix as the ResNet stems). Identical param
+            # path/shape/init to the nn.Conv it replaces.
+            from pmv_tpu.models.stem import _StemConvParams, _fold_patch_conv
+
+            w = _StemConvParams(
+                width, stem_kernel, x.shape[-1], name="s1.stem_conv"
+            )()
+            x = _fold_patch_conv(
+                x, w, jnp.zeros((width,), w.dtype), stem_kernel,
+                (1, 2, 2), stem_pad, self.dtype,
+            )
+        else:
+            x = _conv(width, stem_kernel, (1, 2, 2), stem_pad,
+                      name="s1.stem_conv", dtype=self.dtype)(x)
         x = norm(name="s1.stem_bn")(x, use_running_average=not train)
         x = nn.relu(x)
         if self.variant == "csn":

@@ -33,6 +33,7 @@ FAMILIES = {
     "uniformer_s_16x4": ("Kinetics/UNIFORMER_S_16x4_K400_exp.yaml", 12, True),
     "x3d_m": ("Kinetics/X3D_M.yaml", 8, False),
     "slowfast_8x8": ("Kinetics/SLOWFAST_8x8_R50.yaml", 8, False),
+    "slow_8x8": ("Kinetics/SLOW_8x8_R50.yaml", 8, False),
     "mvitv2_s_16x4": ("Kinetics/MVITv2_S_16x4.yaml", 8, True),
 }
 

@@ -34,6 +34,8 @@ FAMILIES = {
     "x3d_m": ("Kinetics/X3D_M.yaml", 8, False),
     "slowfast_8x8": ("Kinetics/SLOWFAST_8x8_R50.yaml", 8, False),
     "slow_8x8": ("Kinetics/SLOW_8x8_R50.yaml", 8, False),
+    "i3d_8x8": ("Kinetics/I3D_8x8_R50.yaml", 8, False),
+    "c2d_8x8": ("Kinetics/C2D_8x8_R50.yaml", 8, False),
     "mvitv2_s_16x4": ("Kinetics/MVITv2_S_16x4.yaml", 8, True),
 }
 

@@ -121,3 +121,38 @@ def test_x3d_stem_fold_matches_plain():
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-4
     )
+
+
+def test_resnet_stem_folded_bn_train_mode_matches():
+    """Folded-layout BN statistics must equal nn.BatchNorm's exactly
+    (equal-weight combination across position groups), including the
+    running-stats update."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 6, 32, 32, 3)), jnp.float32)
+    plain = ResNetBasicStem(
+        dim_out=8, kernel=(5, 7, 7), stride=(1, 2, 2), padding=(2, 3, 3),
+        use_fold=False,
+    )
+    folded = ResNetBasicStem(
+        dim_out=8, kernel=(5, 7, 7), stride=(1, 2, 2), padding=(2, 3, 3),
+        use_fold=True,
+    )
+    v = plain.init(jax.random.PRNGKey(0), x, train=True)
+    v2 = folded.init(jax.random.PRNGKey(0), x, train=True)
+    for (p1, a), (p2, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(v)[0],
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(v2)[0],
+               key=lambda t: str(t[0])),
+    ):
+        assert str(p1) == str(p2) and a.shape == b.shape, (p1, p2)
+    y0, m0 = plain.apply(v, x, train=True, mutable=["batch_stats"])
+    y1, m1 = folded.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-4
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(m0),
+                    jax.tree_util.tree_leaves(m1)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
